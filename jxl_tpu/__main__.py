@@ -1,0 +1,3 @@
+from jxl_tpu.cli.main import main
+
+raise SystemExit(main())

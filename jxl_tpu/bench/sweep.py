@@ -1,0 +1,234 @@
+"""Rate-distortion sweep driver — the `JXLCompressionBenchmark` analog.
+
+Reproduces the reference's benchmark semantics (`benchmark.rs:576-714`):
+for each image of each test set, sweep the distance x effort grid, record a
+13-col metadata row per file and a 17-col ComparisonResult row per grid
+point. Differences, by design (SURVEY §5, §7):
+
+- Codec variants are `Strategy` flags, not git commits: no per-dispatch
+  libjxl rebuild (the reference rebuilds C++ per dispatched image,
+  `benchmark.rs:479-484` — its dominant cost).
+- Sweep grids are config, not hardcoded (the reference TODOs this at
+  `benchmark.rs:636-638`); both reference grids ship as presets.
+- Run numbering: `benchmarks/<n>/` with n = max+1 (`benchmark.rs:280-302`).
+- Resumable: a per-(image, d, e) done-marker set lets an interrupted sweep
+  continue (SURVEY §5.4 calls this out as missing in the reference).
+- Encode wall-time and MP/s are recorded (the reference never measures
+  timing — SURVEY §5.1).
+- Single-writer CSV appends (the reference's concurrent appends race,
+  SURVEY §5.2).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Optional, Sequence
+
+import numpy as np
+
+from jxl_tpu.bench.csv_schema import (
+    COMPARISON_RESULT_HEADER,
+    IMAGE_FILE_DATA_HEADER,
+    ComparisonResult,
+    append_rows,
+    write_csv_header,
+)
+from jxl_tpu.codec.config import CodecConfig, Strategy
+from jxl_tpu.codec.decode import decode_bytes
+from jxl_tpu.codec.encode import encode_image
+from jxl_tpu.core.io import read_image, read_image_metadata
+from jxl_tpu.metrics import (
+    calculate_butteraugli,
+    calculate_ms_ssim,
+    calculate_mse,
+    calculate_psnr,
+    calculate_ssim,
+    calculate_ssimulacra2,
+    file_size_ratio,
+)
+
+# Reference sweep grids:
+# Rust harness (`benchmark.rs:637-638`)
+RUST_DISTANCES = (0.5, 1.0, 1.5, 3.0, 4.0, 6.0, 8.0, 10.0, 12.0, 14.0)
+RUST_EFFORTS = (5, 6, 7, 8, 9)
+# Legacy python pipeline (`old_test_jxl.py:16-27`) — includes d=0.0 and e=1..9
+LEGACY_DISTANCES = (0.0, 0.5, 1.0, 2.0, 3.0, 5.0, 10.0, 15.0, 25.0)
+LEGACY_EFFORTS = tuple(range(1, 10))
+
+
+@dataclass
+class SweepConfig:
+    benchmark_dir: str = "./benchmarks"
+    test_image_dir: str = "./test_images"
+    distances: Sequence[float] = RUST_DISTANCES
+    efforts: Sequence[int] = RUST_EFFORTS
+    strategy: Strategy = Strategy.BASELINE
+    keep_artifacts: bool = True  # write .jxt/.png outputs like the reference
+
+
+def discover_test_sets(test_image_dir: str) -> list[str]:
+    """Subdirectories of test_images/ (reference: `benchmark.rs:312-331`)."""
+    if not os.path.isdir(test_image_dir):
+        return []
+    return sorted(
+        d
+        for d in os.listdir(test_image_dir)
+        if os.path.isdir(os.path.join(test_image_dir, d))
+    )
+
+
+def next_run_number(benchmark_dir: str) -> int:
+    """max(numeric dir) + 1 (reference: `benchmark.rs:280-302`)."""
+    if not os.path.isdir(benchmark_dir):
+        return 0
+    nums = [int(d) for d in os.listdir(benchmark_dir) if d.isdigit()]
+    return (max(nums) + 1) if nums else 0
+
+
+class SweepRunner:
+    """Runs the grid for one strategy ("commit" analog) over test sets."""
+
+    def __init__(self, config: SweepConfig, run_dir: Optional[str] = None):
+        self.config = config
+        if run_dir is None:
+            n = next_run_number(config.benchmark_dir)
+            run_dir = os.path.join(config.benchmark_dir, str(n))
+        self.run_dir = run_dir
+        os.makedirs(self.run_dir, exist_ok=True)
+
+    # --- resumability ------------------------------------------------------
+    def _marker_path(self, test_set: str, strategy: Strategy) -> str:
+        return os.path.join(self.run_dir, test_set, strategy.name, ".done.jsonl")
+
+    def _load_done(self, test_set: str, strategy: Strategy) -> set:
+        path = self._marker_path(test_set, strategy)
+        done = set()
+        if os.path.exists(path):
+            with open(path) as f:
+                for line in f:
+                    if line.strip():
+                        rec = json.loads(line)
+                        done.add((rec["image"], rec["d"], rec["e"]))
+        return done
+
+    def _mark_done(self, test_set: str, strategy: Strategy, image: str, d: float, e: int):
+        path = self._marker_path(test_set, strategy)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "a") as f:
+            f.write(json.dumps({"image": image, "d": d, "e": e}) + "\n")
+
+    # --- paths (mirror the reference's 4 output dirs, benchmark.rs:107-137) -
+    def out_dirs(self, test_set: str, strategy: Strategy) -> dict:
+        base = os.path.join(self.run_dir, test_set, strategy.name)
+        dirs = {
+            "output": os.path.join(base, "output"),
+            "results": os.path.join(base, "results"),
+        }
+        for p in dirs.values():
+            os.makedirs(p, exist_ok=True)
+        return dirs
+
+    def results_csv(self, test_set: str, strategy: Strategy) -> str:
+        return os.path.join(self.out_dirs(test_set, strategy)["results"], "results.csv")
+
+    def comparisons_csv(self, test_set: str, strategy: Strategy) -> str:
+        return os.path.join(
+            self.out_dirs(test_set, strategy)["results"], "comparisons.csv"
+        )
+
+    # --- main loop ---------------------------------------------------------
+    def run_test_set(self, test_set: str, strategy: Optional[Strategy] = None) -> list:
+        strategy = strategy or self.config.strategy
+        ts_dir = os.path.join(self.config.test_image_dir, test_set)
+        images = sorted(
+            f
+            for f in os.listdir(ts_dir)
+            if os.path.splitext(f)[1].lower() in (".png", ".ppm", ".pnm", ".bmp", ".jpg", ".jpeg")
+        )
+        done = self._load_done(test_set, strategy)
+        dirs = self.out_dirs(test_set, strategy)
+        results_csv = self.results_csv(test_set, strategy)
+        comparisons_csv = self.comparisons_csv(test_set, strategy)
+        write_csv_header(results_csv, IMAGE_FILE_DATA_HEADER)
+        write_csv_header(comparisons_csv, COMPARISON_RESULT_HEADER)
+
+        all_rows = []
+        for image_name in images:
+            img_path = os.path.join(ts_dir, image_name)
+            meta = read_image_metadata(img_path, test_set=test_set, commit=strategy.name)
+            append_rows(results_csv, [meta.csv_row()])
+            rgb = read_image(img_path)
+            stem = os.path.splitext(image_name)[0]
+
+            for d in self.config.distances:
+                for e in self.config.efforts:
+                    if (image_name, d, e) in done:
+                        continue
+                    comp_name = f"{stem}-{d}-{e}.jxt"
+                    t0 = time.perf_counter()
+                    try:
+                        cfg = CodecConfig(
+                            distance=float(d), effort=int(e), strategy=strategy
+                        )
+                        data = encode_image(rgb, cfg, orig_name=image_name)
+                    except Exception as exc:  # skip-on-failure (benchmark.rs:661-677)
+                        print(f"[sweep] encode failed for {comp_name}: {exc!r}; skipping")
+                        continue
+                    encode_s = time.perf_counter() - t0
+                    t1 = time.perf_counter()
+                    out = decode_bytes(data)
+                    decode_s = time.perf_counter() - t1
+
+                    if self.config.keep_artifacts:
+                        with open(os.path.join(dirs["output"], comp_name), "wb") as f:
+                            f.write(data)
+
+                    row = self._compare_to_orig(
+                        meta, comp_name, rgb, out, len(data), d, e
+                    )
+                    row_list = row.row()
+                    append_rows(comparisons_csv, [row_list])
+                    self._mark_done(test_set, strategy, image_name, d, e)
+                    all_rows.append(row)
+                    mp = rgb.shape[0] * rgb.shape[1] / 1e6
+                    print(
+                        f"[sweep] {test_set}/{comp_name}: "
+                        f"bpp={len(data) * 8 / (rgb.shape[0] * rgb.shape[1]):.3f} "
+                        f"psnr={row.psnr:.2f} enc={mp / encode_s:.2f}MP/s "
+                        f"dec={mp / decode_s:.2f}MP/s"
+                    )
+        return all_rows
+
+    def _compare_to_orig(
+        self, meta, comp_name, orig_rgb, comp_rgb, comp_size, d, e
+    ) -> ComparisonResult:
+        """Metric battery per grid point (reference: `benchmark.rs:895-975`)."""
+        mse = calculate_mse(orig_rgb, comp_rgb)
+        psnr = calculate_psnr(orig_rgb, comp_rgb)
+        ssim = calculate_ssim(orig_rgb, comp_rgb)
+        ms_ssim = calculate_ms_ssim(orig_rgb, comp_rgb)
+        butteraugli, pnorm = calculate_butteraugli(orig_rgb, comp_rgb)
+        ssimulacra2 = calculate_ssimulacra2(orig_rgb, comp_rgb)
+        raw = meta.raw_size
+        return ComparisonResult(
+            orig_image_name=meta.image_name,
+            comp_image_name=comp_name,
+            distance=float(d),
+            effort=int(e),
+            orig_file_size=meta.file_size,
+            comp_file_size=comp_size,
+            orig_raw_size=raw,
+            comp_raw_size=raw,
+            comp_file_size_ratio=file_size_ratio(meta.file_size, comp_size),
+            raw_file_size_ratio=file_size_ratio(raw, comp_size),
+            mse=mse,
+            psnr=psnr,
+            ssim=ssim,
+            ms_ssim=ms_ssim,
+            butteraugli=butteraugli,
+            butteraugli_pnorm=pnorm,
+            ssimulacra2=ssimulacra2,
+        )

@@ -1,0 +1,179 @@
+"""CLI — encode / decode / bench / compare subcommands.
+
+Covers both reference entry points with one tool:
+- `bench` reproduces `benchmark-jpegxl`'s flags (`main.rs:16-29`):
+  `--clean`, `--temp`, strategy selection replaces `--libjxl_commit`,
+  `--compare-to` replaces `--compare_to_local`/`--compare_to_commit`
+  (variants are flags of one engine, no containers to rebuild).
+- `encode`/`decode` replace the `cjxl`/`djxl` shell-outs of the legacy
+  pipeline (`old_test_jxl.py:460-491`).
+
+Usage:
+  python -m jxl_tpu encode in.png out.jxt --distance 1.0 --effort 7
+  python -m jxl_tpu decode out.jxt back.png
+  python -m jxl_tpu bench --test-image-dir ./test_images --grid rust
+  python -m jxl_tpu bench --strategy HOMOGENEITY_PARTITIONING --compare-to BASELINE
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import shutil
+import sys
+import time
+
+
+def _add_codec_args(p):
+    p.add_argument("--distance", type=float, default=1.0, help="quality (cjxl --distance analog)")
+    p.add_argument("--effort", type=int, default=7, help="encode effort 1-9 (cjxl --effort analog)")
+    p.add_argument(
+        "--strategy",
+        default="BASELINE",
+        help="codec variant: BASELINE | HOMOGENEITY_PARTITIONING | HOMOGENEITY_FACTORED_ENTROPY | COMBINED",
+    )
+
+
+def cmd_encode(args) -> int:
+    from jxl_tpu.codec.config import CodecConfig, Strategy
+    from jxl_tpu.codec.encode import encode_file
+    from jxl_tpu.core.io import read_image
+
+    cfg = CodecConfig(
+        distance=args.distance, effort=args.effort, strategy=Strategy[args.strategy]
+    )
+    rgb = read_image(args.input)
+    t0 = time.perf_counter()
+    size = encode_file(args.input, args.output, cfg)
+    dt = time.perf_counter() - t0
+    mp = rgb.shape[0] * rgb.shape[1] / 1e6
+    bpp = size * 8 / (rgb.shape[0] * rgb.shape[1])
+    print(f"{args.output}: {size} bytes, {bpp:.3f} bpp, {mp / dt:.2f} MP/s")
+    return 0
+
+
+def cmd_decode(args) -> int:
+    from jxl_tpu.codec.decode import decode_file
+    from jxl_tpu.core.io import write_image
+
+    t0 = time.perf_counter()
+    rgb = decode_file(args.input)
+    dt = time.perf_counter() - t0
+    write_image(args.output, rgb)
+    mp = rgb.shape[0] * rgb.shape[1] / 1e6
+    print(f"{args.output}: {rgb.shape[1]}x{rgb.shape[0]}, {mp / dt:.2f} MP/s")
+    return 0
+
+
+def cmd_bench(args) -> int:
+    from jxl_tpu.bench.compare import compare_results
+    from jxl_tpu.bench.plots import boxplot_size_percent, rd_curves
+    from jxl_tpu.bench.sweep import (
+        LEGACY_DISTANCES,
+        LEGACY_EFFORTS,
+        RUST_DISTANCES,
+        RUST_EFFORTS,
+        SweepConfig,
+        SweepRunner,
+        discover_test_sets,
+    )
+    from jxl_tpu.codec.config import Strategy
+
+    bench_dir = args.benchmark_dir
+    if args.temp:  # --temp: suffix the dir (main.rs:50-58)
+        i = 0
+        while os.path.exists(f"{bench_dir}-{i}"):
+            i += 1
+        bench_dir = f"{bench_dir}-{i}"
+    if args.clean and os.path.exists(args.benchmark_dir):  # --clean (main.rs:61-66)
+        shutil.rmtree(args.benchmark_dir)
+
+    grid = {
+        "rust": (RUST_DISTANCES, RUST_EFFORTS),
+        "legacy": (LEGACY_DISTANCES, LEGACY_EFFORTS),
+    }[args.grid]
+    distances = tuple(args.distances) if args.distances else grid[0]
+    efforts = tuple(args.efforts) if args.efforts else grid[1]
+
+    cfg = SweepConfig(
+        benchmark_dir=bench_dir,
+        test_image_dir=args.test_image_dir,
+        distances=distances,
+        efforts=efforts,
+        strategy=Strategy[args.strategy],
+    )
+    runner = SweepRunner(cfg)
+    test_sets = discover_test_sets(args.test_image_dir)
+    if not test_sets:
+        print(f"no test sets under {args.test_image_dir}", file=sys.stderr)
+        return 1
+
+    strategies = [Strategy[args.strategy]]
+    if args.compare_to:
+        strategies.append(Strategy[args.compare_to])
+
+    for ts in test_sets:
+        csvs = []
+        for strat in strategies:
+            runner.run_test_set(ts, strat)
+            csvs.append(runner.comparisons_csv(ts, strat))
+            if args.graph:
+                base = runner.out_dirs(ts, strat)["results"]
+                boxplot_size_percent(csvs[-1], os.path.join(base, "boxplot.png"))
+                rd_curves(csvs[-1], os.path.join(base, "rd_curves.png"))
+        if len(csvs) == 2:  # exactly-2 rule (benchmark.rs:554-563)
+            out = os.path.join(runner.run_dir, ts)
+            diffs, summary = compare_results(csvs[0], csvs[1], out)
+            print(f"[bench] wrote {diffs} and {summary}")
+    print(f"[bench] run dir: {runner.run_dir}")
+    return 0
+
+
+def cmd_compare(args) -> int:
+    from jxl_tpu.bench.compare import compare_results
+
+    diffs, summary = compare_results(args.csv1, args.csv2, args.out_dir)
+    print(f"wrote {diffs}\nwrote {summary}")
+    return 0
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="jxl_tpu")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    pe = sub.add_parser("encode", help="encode an image to .jxt")
+    pe.add_argument("input")
+    pe.add_argument("output")
+    _add_codec_args(pe)
+    pe.set_defaults(fn=cmd_encode)
+
+    pd = sub.add_parser("decode", help="decode a .jxt to an image")
+    pd.add_argument("input")
+    pd.add_argument("output")
+    pd.set_defaults(fn=cmd_decode)
+
+    pb = sub.add_parser("bench", help="run the RD sweep benchmark")
+    pb.add_argument("--benchmark-dir", default="./benchmarks")
+    pb.add_argument("--test-image-dir", default="./test_images")
+    pb.add_argument("--clean", action="store_true", help="delete benchmark dir first")
+    pb.add_argument("--temp", action="store_true", help="use a fresh suffixed dir")
+    pb.add_argument("--grid", choices=("rust", "legacy"), default="rust")
+    pb.add_argument("--distances", type=float, nargs="*", default=None)
+    pb.add_argument("--efforts", type=int, nargs="*", default=None)
+    pb.add_argument("--compare-to", default=None, help="second strategy for A/B diff")
+    pb.add_argument("--graph", action="store_true", help="write boxplots + RD curves")
+    _add_codec_args(pb)
+    pb.set_defaults(fn=cmd_bench)
+
+    pc = sub.add_parser("compare", help="diff two comparisons.csv files")
+    pc.add_argument("csv1")
+    pc.add_argument("csv2")
+    pc.add_argument("out_dir")
+    pc.set_defaults(fn=cmd_compare)
+
+    args = parser.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

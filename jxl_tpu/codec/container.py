@@ -1,0 +1,234 @@
+"""JXT bitstream container (host-side serialization layer).
+
+The on-disk format of this framework's codec. Carries everything the decoder
+needs; coding parameters (distance/effort/strategy, original image name) are
+stored in the header — unlike the reference, which re-derives them by parsing
+the output filename (`image_reader.rs:385-411`).
+
+Layout (all little-endian):
+  magic   b"JXT1"
+  u8      version (=1)
+  u32     height, width        (true, unpadded)
+  f32     distance
+  u8      effort
+  u8      strategy             (Strategy enum value)
+  u16     orig_name_len; bytes orig_name (utf-8)
+  u16     lanes (K)
+  u32     n_tokens
+  u8      n_ctx
+  u8      alphabet (A)
+  u16[n_ctx*A]  quantized frequencies (sum 4096 per context)
+  u32[K]  per-lane word counts
+  u32[K]  per-lane final rANS states
+  u32     n_stream_words; u16[n_stream_words] rANS words (ragged lanes concat)
+  u32     total_raw_bits; u32 n_bit_words; u32[n_bit_words] packed mantissas
+  u8      n_acs_extra; ...     (reserved; 0 for fixed-8x8 v1 streams)
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass
+
+import numpy as np
+
+MAGIC = b"JXT1"
+VERSION = 1
+
+
+def _pack_freq_tables(freq: np.ndarray) -> bytes:
+    """Per-context frequency tables, sparse when that is smaller.
+
+    Real images leave most contexts nearly degenerate (a flat image's
+    tables are ~2 nonzero symbols each), so raw [A] u16 rows (74 B/ctx for
+    A=37) waste header bytes that dominate small streams. Per context:
+    u8 mode (0 = raw u16 row, 1 = sparse), sparse = u8 count + count x
+    (u8 symbol, u16 freq).
+    """
+    out = []
+    for row in freq:
+        nz = np.nonzero(row)[0]
+        sparse_size = 1 + 3 * len(nz)
+        raw_size = 2 * len(row)
+        if sparse_size < raw_size:
+            parts = [struct.pack("<BB", 1, len(nz))]
+            for s in nz:
+                parts.append(struct.pack("<BH", int(s), int(row[s])))
+            out.append(b"".join(parts))
+        else:
+            out.append(struct.pack("<B", 0) + row.astype("<u2").tobytes())
+    return b"".join(out)
+
+
+def _unpack_freq_tables(data: bytes, off: int, n_ctx: int, alphabet: int):
+    freq = np.zeros((n_ctx, alphabet), np.uint32)
+    for c in range(n_ctx):
+        mode = data[off]
+        off += 1
+        if mode == 0:
+            freq[c] = np.frombuffer(data, dtype="<u2", count=alphabet, offset=off)
+            off += alphabet * 2
+        else:
+            n = data[off]
+            off += 1
+            for _ in range(n):
+                s, f = struct.unpack_from("<BH", data, off)
+                off += 3
+                freq[c, s] = f
+    return freq, off
+
+
+@dataclass
+class JxtHeader:
+    height: int
+    width: int
+    distance: float
+    effort: int
+    strategy: int
+    orig_name: str
+    lanes: int
+    n_tokens: int
+    n_ctx: int
+    alphabet: int
+
+    @property
+    def strategy_name(self) -> str:
+        from jxl_tpu.codec.config import Strategy
+
+        return Strategy(self.strategy).name
+
+
+@dataclass
+class JxtStream:
+    header: JxtHeader
+    freq: np.ndarray  # [n_ctx, A] uint32
+    lens: np.ndarray  # [K] uint32
+    states: np.ndarray  # [K] uint32
+    stream_words: bytes  # ragged per-lane concat, u16 LE
+    total_raw_bits: int
+    bit_words: np.ndarray  # [n_bit_words] uint32
+    acs_extra: bytes = b""
+
+
+def write_container(s: JxtStream) -> bytes:
+    h = s.header
+    name_b = h.orig_name.encode("utf-8")
+    out = [
+        MAGIC,
+        struct.pack(
+            "<BIIfBBH",
+            VERSION,
+            h.height,
+            h.width,
+            h.distance,
+            h.effort,
+            h.strategy,
+            len(name_b),
+        ),
+        name_b,
+        struct.pack("<HIBB", h.lanes, h.n_tokens, h.n_ctx, h.alphabet),
+        _pack_freq_tables(s.freq),
+        (
+            struct.pack("<B", 2) + s.lens.astype("<u2").tobytes()
+            if s.lens.size == 0 or int(s.lens.max()) < (1 << 16)
+            else struct.pack("<B", 4) + s.lens.astype("<u4").tobytes()
+        ),
+        s.states.astype("<u4").tobytes(),
+        struct.pack("<I", len(s.stream_words) // 2),
+        s.stream_words,
+        struct.pack("<II", s.total_raw_bits, len(s.bit_words)),
+        s.bit_words.astype("<u4").tobytes(),
+        struct.pack("<I", len(s.acs_extra)),
+        s.acs_extra,
+    ]
+    return b"".join(out)
+
+
+def read_container(data: bytes) -> JxtStream:
+    assert data[:4] == MAGIC, "not a JXT stream"
+    off = 4
+    version, height, width, distance, effort, strategy, name_len = struct.unpack_from(
+        "<BIIfBBH", data, off
+    )
+    assert version == VERSION
+    off += struct.calcsize("<BIIfBBH")
+    orig_name = data[off : off + name_len].decode("utf-8")
+    off += name_len
+    lanes, n_tokens, n_ctx, alphabet = struct.unpack_from("<HIBB", data, off)
+    off += struct.calcsize("<HIBB")
+    freq, off = _unpack_freq_tables(data, off, n_ctx, alphabet)
+    len_width = data[off]
+    off += 1
+    if len_width == 2:
+        lens = np.frombuffer(data, dtype="<u2", count=lanes, offset=off).astype(np.uint32)
+        off += lanes * 2
+    else:
+        lens = np.frombuffer(data, dtype="<u4", count=lanes, offset=off).astype(np.uint32)
+        off += lanes * 4
+    states = np.frombuffer(data, dtype="<u4", count=lanes, offset=off).astype(np.uint32)
+    off += lanes * 4
+    (n_stream_words,) = struct.unpack_from("<I", data, off)
+    off += 4
+    stream_words = data[off : off + n_stream_words * 2]
+    off += n_stream_words * 2
+    total_raw_bits, n_bit_words = struct.unpack_from("<II", data, off)
+    off += 8
+    bit_words = np.frombuffer(data, dtype="<u4", count=n_bit_words, offset=off).astype(
+        np.uint32
+    )
+    off += n_bit_words * 4
+    (n_acs,) = struct.unpack_from("<I", data, off)
+    off += 4
+    acs_extra = data[off : off + n_acs]
+    header = JxtHeader(
+        height=height,
+        width=width,
+        distance=distance,
+        effort=effort,
+        strategy=strategy,
+        orig_name=orig_name,
+        lanes=lanes,
+        n_tokens=n_tokens,
+        n_ctx=n_ctx,
+        alphabet=alphabet,
+    )
+    return JxtStream(
+        header=header,
+        freq=freq,
+        lens=lens,
+        states=states,
+        stream_words=stream_words,
+        total_raw_bits=total_raw_bits,
+        bit_words=bit_words,
+        acs_extra=acs_extra,
+    )
+
+
+def read_header(path: str) -> JxtHeader:
+    with open(path, "rb") as f:
+        data = f.read(64 * 1024)
+    return read_container_header(data)
+
+
+def read_container_header(data: bytes) -> JxtHeader:
+    assert data[:4] == MAGIC, "not a JXT stream"
+    off = 4
+    version, height, width, distance, effort, strategy, name_len = struct.unpack_from(
+        "<BIIfBBH", data, off
+    )
+    off += struct.calcsize("<BIIfBBH")
+    orig_name = data[off : off + name_len].decode("utf-8")
+    off += name_len
+    lanes, n_tokens, n_ctx, alphabet = struct.unpack_from("<HIBB", data, off)
+    return JxtHeader(
+        height=height,
+        width=width,
+        distance=distance,
+        effort=effort,
+        strategy=strategy,
+        orig_name=orig_name,
+        lanes=lanes,
+        n_tokens=n_tokens,
+        n_ctx=n_ctx,
+        alphabet=alphabet,
+    )

@@ -1,0 +1,183 @@
+"""TPU-native JXT encoder (fixed 8x8 VarDCT slice — SURVEY §7 M1).
+
+Replaces the reference's `cjxl` invocation path (`docker_manager.rs:100-136`)
+with an on-device pipeline:
+
+  sRGB u8 -> XYB -> (B -= Y residual) -> pad -> 8x8 blocks -> DCT (MXU
+  matmuls) -> quantize -> DC gradient-predictor residuals + zigzag AC ->
+  hybrid-uint tokens -> per-context histograms -> interleaved rANS + raw-bit
+  pack -> host container assembly.
+
+Device/host split: all per-pixel and per-symbol work is jitted JAX; the host
+only quantizes the (tiny) histogram table and concatenates ragged lane
+streams — the split SURVEY §7 "hard parts #1" prescribes.
+
+The DC gradient predictor is deliberately unclamped (pred = W + N - NW):
+its inverse is a separable 2D prefix sum, so the decoder reconstructs DC
+with two cumsums instead of a sequential wavefront.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jxl_tpu.codec.config import CodecConfig
+from jxl_tpu.codec.container import JxtHeader, JxtStream, write_container
+from jxl_tpu.codec.layout import N_CTX, token_layout
+from jxl_tpu.core.xyb import srgb_to_xyb
+from jxl_tpu.entropy.rans import quantize_histograms, rans_encode, serialize_streams
+from jxl_tpu.entropy.tokens import (
+    ALPHABET,
+    bit_capacity_words,
+    pack_bits,
+    tokenize,
+    zigzag_map,
+)
+from jxl_tpu.transforms.dct import dct2d
+from jxl_tpu.transforms.quant import ac_steps_np, dc_steps_np
+
+
+def image_to_blocks(planes: jnp.ndarray, hp: int, wp: int) -> jnp.ndarray:
+    """[3, H, W] -> edge-padded [3, nby, nbx, 8, 8]."""
+    h, w = planes.shape[-2:]
+    planes = jnp.pad(planes, ((0, 0), (0, hp - h), (0, wp - w)), mode="edge")
+    nby, nbx = hp // 8, wp // 8
+    return planes.reshape(3, nby, 8, nbx, 8).transpose(0, 1, 3, 2, 4)
+
+
+def dc_predict_residual(dcq: jnp.ndarray) -> jnp.ndarray:
+    """r = q - W - N + NW over [3, nby, nbx] (unclamped gradient predictor)."""
+    w = jnp.pad(dcq, ((0, 0), (0, 0), (1, 0)))[:, :, :-1]
+    n = jnp.pad(dcq, ((0, 0), (1, 0), (0, 0)))[:, :-1, :]
+    nw = jnp.pad(dcq, ((0, 0), (1, 0), (1, 0)))[:, :-1, :-1]
+    return dcq - w - n + nw
+
+
+def tokens_from_rgb(rgb: jnp.ndarray, *, height: int, width: int, distance: float):
+    """Pixels -> (tokens, nbits, mantissa, histogram counts).
+
+    Pure/traceable (no jit): also the vmap/shard_map building block of the
+    distributed batch encoder (jxl_tpu.distributed.sharded).
+    """
+    lay = token_layout(height, width)
+    img = rgb.astype(jnp.float32) / 255.0
+    xyb = srgb_to_xyb(img)  # [H, W, 3]
+    x, y, b = xyb[..., 0], xyb[..., 1], xyb[..., 2]
+    planes = jnp.stack([x, y, b - y])  # B coded as residual vs luma
+
+    blocks = image_to_blocks(planes, lay["hp"], lay["wp"])
+    coef = dct2d(blocks)  # [3, nby, nbx, 8, 8]
+
+    dc_step = jnp.asarray(dc_steps_np(distance))
+    ac_step = jnp.asarray(ac_steps_np(distance))
+
+    dcq = jnp.round(coef[..., 0, 0] / dc_step[:, None, None]).astype(jnp.int32)
+    dc_res = dc_predict_residual(dcq)
+
+    acq = jnp.round(coef / ac_step[:, None, None, :, :]).astype(jnp.int32)
+    zz = jnp.asarray(lay["zigzag"])
+    ac_zz = acq.reshape(3, lay["nb"], 64)[:, :, zz][..., 1:]  # [3, nb, 63]
+
+    values = jnp.concatenate(
+        [zigzag_map(dc_res.reshape(-1)), zigzag_map(ac_zz.reshape(-1))]
+    )
+    token, nbits, mant = tokenize(values)
+
+    ctx = jnp.asarray(lay["ctx"])
+    counts = (
+        jnp.zeros((N_CTX * ALPHABET,), jnp.int32)
+        .at[ctx * ALPHABET + token]
+        .add(1)
+    ).reshape(N_CTX, ALPHABET)
+    return token, nbits, mant, counts
+
+
+_encode_stage1 = partial(jax.jit, static_argnames=("height", "width", "distance"))(
+    tokens_from_rgb
+)
+
+
+@partial(jax.jit, static_argnames=("height", "width", "lanes", "cap_words"))
+def _encode_stage2(token, nbits, mant, freq, cum, *, height: int, width: int, lanes: int, cap_words: int):
+    lay = token_layout(height, width)
+    ctx = jnp.asarray(lay["ctx"])
+    words, lens, states = rans_encode(token, ctx, freq, cum, lanes=lanes)
+    bit_words, total_bits = pack_bits(nbits, mant, cap_words)
+    return words, lens, states, bit_words, total_bits
+
+
+def pick_lanes(n_tokens: int, max_lanes: int) -> int:
+    """Adapt rANS lane count to the stream size: each lane costs 8 header
+    bytes (len + state), so small images use fewer, longer streams."""
+    lanes = max_lanes
+    while lanes > 16 and n_tokens // lanes < 512:
+        lanes //= 2
+    return lanes
+
+
+def encode_image(rgb: np.ndarray, config: CodecConfig, orig_name: str = "") -> bytes:
+    """Encode an RGB u8 [H, W, 3] image to JXT bytes."""
+    h, w = int(rgb.shape[0]), int(rgb.shape[1])
+    lay = token_layout(h, w)
+
+    token, nbits, mant, counts = _encode_stage1(
+        jnp.asarray(rgb), height=h, width=w, distance=float(config.distance)
+    )
+
+    freq_np, cum_np = quantize_histograms(np.asarray(counts))
+    cap = bit_capacity_words(lay["n_tokens"])
+    lanes = pick_lanes(lay["n_tokens"], config.lanes)
+
+    words, lens, states, bit_words, total_bits = _encode_stage2(
+        token,
+        nbits,
+        mant,
+        jnp.asarray(freq_np),
+        jnp.asarray(cum_np),
+        height=h,
+        width=w,
+        lanes=lanes,
+        cap_words=cap,
+    )
+
+    total_bits = int(total_bits)
+    n_bit_words = (total_bits + 31) // 32
+    header = JxtHeader(
+        height=h,
+        width=w,
+        distance=float(config.distance),
+        effort=int(config.effort),
+        strategy=int(config.strategy.value),
+        orig_name=orig_name,
+        lanes=lanes,
+        n_tokens=lay["n_tokens"],
+        n_ctx=N_CTX,
+        alphabet=ALPHABET,
+    )
+    stream = JxtStream(
+        header=header,
+        freq=freq_np,
+        lens=np.asarray(lens).astype(np.uint32),
+        states=np.asarray(states).astype(np.uint32),
+        stream_words=serialize_streams(np.asarray(words), np.asarray(lens)),
+        total_raw_bits=total_bits,
+        bit_words=np.asarray(bit_words)[:n_bit_words],
+    )
+    return write_container(stream)
+
+
+def encode_file(in_path: str, out_path: str, config: CodecConfig) -> int:
+    """Encode an image file; returns compressed size in bytes."""
+    import os
+
+    from jxl_tpu.core.io import read_image
+
+    rgb = read_image(in_path)
+    data = encode_image(rgb, config, orig_name=os.path.basename(in_path))
+    with open(out_path, "wb") as f:
+        f.write(data)
+    return len(data)

@@ -1,0 +1,180 @@
+"""Vectorized interleaved rANS entropy coder (TPU-native).
+
+The reference relies on libjxl's C++ ANS coder (inside `cjxl`, invoked at
+`docker_manager.rs:100-136`) — an inherently sequential per-stream loop. The
+TPU-native design runs K independent rANS streams in lockstep as one
+vectorized `lax.scan`: symbol i is coded by lane (i % K), so every scan step
+advances K coder states with pure vector ops (VPU) plus small table gathers.
+SURVEY §7 "hard parts #1" calls for exactly this many-parallel-streams
+design; bitstream *assembly* (ragged per-lane concatenation) is host-side
+numpy, per-symbol modeling is all on device.
+
+Scheme: 32-bit states, 16-bit renormalization words, 12-bit frequency
+precision. Single-conditional renorm is exact for these parameters
+(2^32 >> 16 = 2^16 < f << 20 for all f >= 1).
+
+Encode walks symbols in reverse (scan with reverse=True); the word emitted
+while encoding symbol i is exactly the word the decoder consumes when
+decoding symbol i, so per-lane streams are stored in ascending-i order and
+decoding is a forward scan with per-lane read pointers.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+RANS_PRECISION = 12  # frequency bits; M = 4096
+RANS_M = 1 << RANS_PRECISION
+RANS_L = np.uint32(1 << 16)  # state lower bound
+DEFAULT_LANES = 256
+
+
+def quantize_histograms(counts: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Quantize per-context symbol counts to frequencies summing to 2^12.
+
+    counts: [C, A] nonnegative ints. Returns (freq [C, A], cum [C, A]) uint32.
+    Every symbol with a nonzero count gets freq >= 1; the max freq is capped
+    at M-1 so that `f << 20` never overflows uint32 in the encoder.
+    Deterministic (runs on host; tables are stored in the bitstream header,
+    so encoder and decoder always agree).
+    """
+    counts = np.asarray(counts, dtype=np.int64)
+    C, A = counts.shape
+    freq = np.zeros((C, A), dtype=np.int64)
+    for c in range(C):
+        row = counts[c]
+        total = row.sum()
+        if total == 0:
+            # Unused context: put all mass on symbol 0 (capped).
+            freq[c, 0] = RANS_M - 1
+            freq[c, 1 if A > 1 else 0] += 1
+            continue
+        f = np.floor(row * (RANS_M / total)).astype(np.int64)
+        f[(row > 0) & (f == 0)] = 1
+        diff = RANS_M - f.sum()
+        # Adjust the largest bucket; it is always big enough to absorb diff.
+        f[np.argmax(f)] += diff
+        if f.max() >= RANS_M:  # single-symbol context
+            j = int(np.argmax(f))
+            f[j] = RANS_M - 1
+            f[(j + 1) % A] += 1
+        assert f.sum() == RANS_M and f.max() < RANS_M and f.min() >= 0
+        freq[c] = f
+    cum = np.concatenate([np.zeros((C, 1), dtype=np.int64), np.cumsum(freq, axis=1)[:, :-1]], axis=1)
+    return freq.astype(np.uint32), cum.astype(np.uint32)
+
+
+def _lane_layout(n: int, lanes: int) -> int:
+    """Number of scan steps for n symbols over `lanes` streams."""
+    return max(1, -(-n // lanes))
+
+
+def rans_encode(tokens, ctx_ids, freq, cum, lanes: int = DEFAULT_LANES):
+    """Encode tokens[N] (int32, < alphabet) with contexts ctx_ids[N].
+
+    freq/cum: [C, A] uint32 quantized tables (from quantize_histograms).
+    Returns (words [T, lanes] uint16 compacted per-lane ascending,
+             lens [lanes] int32 word counts,
+             states [lanes] uint32 final states).
+    jit-compatible for fixed N.
+    """
+    n = tokens.shape[0]
+    T = _lane_layout(n, lanes)
+    pad = T * lanes - n
+
+    tok = jnp.concatenate([tokens.astype(jnp.int32), jnp.zeros(pad, jnp.int32)])
+    ctx = jnp.concatenate([ctx_ids.astype(jnp.int32), jnp.zeros(pad, jnp.int32)])
+    valid = (jnp.arange(T * lanes) < n).reshape(T, lanes)
+
+    f_all = freq[ctx, tok].reshape(T, lanes).astype(jnp.uint32)
+    c_all = cum[ctx, tok].reshape(T, lanes).astype(jnp.uint32)
+
+    def step(states, inp):
+        f, c, v = inp
+        x = states
+        emit = jnp.logical_and(v, x >= (f << 20))
+        word = x & jnp.uint32(0xFFFF)
+        x = jnp.where(emit, x >> 16, x)
+        x_enc = ((x // f) << RANS_PRECISION) + (x % f) + c
+        # Invalid (padding) positions never emit and leave the state unchanged.
+        x = jnp.where(v, x_enc, states)
+        return x, (word, emit)
+
+    init = jnp.full((lanes,), RANS_L, dtype=jnp.uint32)
+    states, (words, emits) = jax.lax.scan(step, init, (f_all, c_all, valid), reverse=True)
+
+    # Compact emissions per lane in ascending-step order.
+    wcount = jnp.cumsum(emits.astype(jnp.int32), axis=0)
+    lens = wcount[-1]
+    pos = wcount - 1
+    lane_idx = jnp.broadcast_to(jnp.arange(lanes), (T, lanes))
+    flat_target = jnp.where(emits, pos * lanes + lane_idx, T * lanes)
+    out = jnp.zeros((T * lanes,), jnp.uint32).at[flat_target.reshape(-1)].set(
+        words.reshape(-1), mode="drop"
+    )
+    return out.reshape(T, lanes).astype(jnp.uint16), lens, states
+
+
+def rans_decode(words, states, ctx_ids, freq, cum, n: int, lanes: int = DEFAULT_LANES):
+    """Decode n tokens. words: [Wmax, lanes] uint16 (per-lane ascending),
+    states: [lanes] uint32 (final encoder states), ctx_ids: [N] int32.
+
+    Returns tokens [n] int32. jit-compatible for fixed n/Wmax.
+    """
+    T = _lane_layout(n, lanes)
+    pad = T * lanes - n
+    ctx = jnp.concatenate([ctx_ids.astype(jnp.int32), jnp.zeros(pad, jnp.int32)])
+    ctx_all = ctx.reshape(T, lanes)
+    valid = (jnp.arange(T * lanes) < n).reshape(T, lanes)
+
+    words_u32 = words.astype(jnp.uint32)
+    freq = freq.astype(jnp.uint32)
+    cum_i32 = cum.astype(jnp.int32)  # for searchsorted-style compare
+
+    def step(carry, inp):
+        x, ptr = carry
+        c_ids, v = inp
+        slot = x & jnp.uint32(RANS_M - 1)
+        cum_rows = cum_i32[c_ids]  # [lanes, A]
+        s = jnp.sum(slot.astype(jnp.int32)[:, None] >= cum_rows, axis=1) - 1
+        f = freq[c_ids, s]
+        cm = cum[c_ids, s].astype(jnp.uint32)
+        x_dec = f * (x >> RANS_PRECISION) + slot - cm
+        need = jnp.logical_and(v, x_dec < RANS_L)
+        w = jnp.take_along_axis(words_u32, ptr[None, :], axis=0)[0]
+        x_new = jnp.where(need, (x_dec << 16) | w, x_dec)
+        x_new = jnp.where(v, x_new, x)
+        ptr_new = ptr + need.astype(jnp.int32)
+        return (x_new, ptr_new), jnp.where(v, s, 0)
+
+    init = (states.astype(jnp.uint32), jnp.zeros((lanes,), jnp.int32))
+    _, syms = jax.lax.scan(step, init, (ctx_all, valid))
+    return syms.reshape(-1)[:n].astype(jnp.int32)
+
+
+def serialize_streams(words: np.ndarray, lens: np.ndarray) -> bytes:
+    """Host-side ragged concatenation of per-lane streams (bitstream assembly)."""
+    words = np.asarray(words)
+    lens = np.asarray(lens)
+    parts = [words[: lens[k], k] for k in range(words.shape[1])]
+    if parts:
+        flat = np.concatenate(parts).astype("<u2")
+    else:
+        flat = np.zeros(0, dtype="<u2")
+    return flat.tobytes()
+
+
+def deserialize_streams(data: bytes, lens: np.ndarray, lanes: int) -> np.ndarray:
+    """Rebuild the padded [Wmax, lanes] uint16 word matrix from the stream."""
+    lens = np.asarray(lens)
+    flat = np.frombuffer(data, dtype="<u2")
+    wmax = max(1, int(lens.max()) if lens.size else 1)
+    out = np.zeros((wmax, lanes), dtype=np.uint16)
+    off = 0
+    for k in range(lanes):
+        lk = int(lens[k])
+        out[:lk, k] = flat[off : off + lk]
+        off += lk
+    return out

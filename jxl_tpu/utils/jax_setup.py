@@ -1,0 +1,27 @@
+"""Process-level JAX configuration.
+
+The rANS scan kernels compile slowly on TPU (minutes); a persistent
+compilation cache makes every CLI/bench invocation after the first reuse
+the compiled executables instead. Imported for side effects by
+jxl_tpu/__init__.py. Override the location with JXL_TPU_CACHE_DIR; disable
+with JXL_TPU_NO_CACHE=1.
+"""
+
+import os
+
+
+def configure_jax() -> None:
+    if os.environ.get("JXL_TPU_NO_CACHE"):
+        return
+    import jax
+
+    cache_dir = os.environ.get(
+        "JXL_TPU_CACHE_DIR",
+        os.path.join(os.path.expanduser("~"), ".cache", "jxl_tpu_jax"),
+    )
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass  # cache is an optimization, never a requirement
