@@ -47,6 +47,7 @@ class CodecConfig:
     effort: int = 7  # cjxl --effort analog: gates AC-strategy search depth
     strategy: Strategy = Strategy.BASELINE
     lanes: int = 256  # interleaved rANS streams
+    epf: bool = True  # decode-side edge-preserving filter (signaled in header)
 
     # effort >= 4 enables the variable-block-size AC-strategy search;
     # effort < 4 is fixed 8x8 (fast path).

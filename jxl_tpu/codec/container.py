@@ -7,22 +7,23 @@ the output filename (`image_reader.rs:385-411`).
 
 Layout (all little-endian):
   magic   b"JXT1"
-  u8      version (=1)
+  u8      version (=2)
   u32     height, width        (true, unpadded)
   f32     distance
   u8      effort
   u8      strategy             (Strategy enum value)
+  u8      flags                (bit0: EPF enabled)
   u16     orig_name_len; bytes orig_name (utf-8)
   u16     lanes (K)
   u32     n_tokens
   u8      n_ctx
   u8      alphabet (A)
-  u16[n_ctx*A]  quantized frequencies (sum 4096 per context)
-  u32[K]  per-lane word counts
+  per-ctx frequency tables     (raw u16 row or sparse, see _pack_freq_tables)
+  u8      len_width (2|4); u16/u32[K] per-lane word counts
   u32[K]  per-lane final rANS states
   u32     n_stream_words; u16[n_stream_words] rANS words (ragged lanes concat)
   u32     total_raw_bits; u32 n_bit_words; u32[n_bit_words] packed mantissas
-  u8      n_acs_extra; ...     (reserved; 0 for fixed-8x8 v1 streams)
+  u32     n_acs_extra; ...     (reserved)
 """
 
 from __future__ import annotations
@@ -33,7 +34,7 @@ from dataclasses import dataclass
 import numpy as np
 
 MAGIC = b"JXT1"
-VERSION = 1
+VERSION = 2  # v2: AC-strategy map section (variable block sizes)
 
 
 def _pack_freq_tables(freq: np.ndarray) -> bytes:
@@ -90,6 +91,11 @@ class JxtHeader:
     n_tokens: int
     n_ctx: int
     alphabet: int
+    flags: int = 1  # bit0: EPF enabled
+
+    @property
+    def epf(self) -> bool:
+        return bool(self.flags & 1)
 
     @property
     def strategy_name(self) -> str:
@@ -116,13 +122,14 @@ def write_container(s: JxtStream) -> bytes:
     out = [
         MAGIC,
         struct.pack(
-            "<BIIfBBH",
+            "<BIIfBBBH",
             VERSION,
             h.height,
             h.width,
             h.distance,
             h.effort,
             h.strategy,
+            h.flags,
             len(name_b),
         ),
         name_b,
@@ -147,11 +154,11 @@ def write_container(s: JxtStream) -> bytes:
 def read_container(data: bytes) -> JxtStream:
     assert data[:4] == MAGIC, "not a JXT stream"
     off = 4
-    version, height, width, distance, effort, strategy, name_len = struct.unpack_from(
-        "<BIIfBBH", data, off
+    version, height, width, distance, effort, strategy, flags, name_len = struct.unpack_from(
+        "<BIIfBBBH", data, off
     )
     assert version == VERSION
-    off += struct.calcsize("<BIIfBBH")
+    off += struct.calcsize("<BIIfBBBH")
     orig_name = data[off : off + name_len].decode("utf-8")
     off += name_len
     lanes, n_tokens, n_ctx, alphabet = struct.unpack_from("<HIBB", data, off)
@@ -191,6 +198,7 @@ def read_container(data: bytes) -> JxtStream:
         n_tokens=n_tokens,
         n_ctx=n_ctx,
         alphabet=alphabet,
+        flags=flags,
     )
     return JxtStream(
         header=header,
@@ -213,10 +221,10 @@ def read_header(path: str) -> JxtHeader:
 def read_container_header(data: bytes) -> JxtHeader:
     assert data[:4] == MAGIC, "not a JXT stream"
     off = 4
-    version, height, width, distance, effort, strategy, name_len = struct.unpack_from(
-        "<BIIfBBH", data, off
+    version, height, width, distance, effort, strategy, flags, name_len = struct.unpack_from(
+        "<BIIfBBBH", data, off
     )
-    off += struct.calcsize("<BIIfBBH")
+    off += struct.calcsize("<BIIfBBBH")
     orig_name = data[off : off + name_len].decode("utf-8")
     off += name_len
     lanes, n_tokens, n_ctx, alphabet = struct.unpack_from("<HIBB", data, off)
@@ -231,4 +239,5 @@ def read_container_header(data: bytes) -> JxtHeader:
         n_tokens=n_tokens,
         n_ctx=n_ctx,
         alphabet=alphabet,
+        flags=flags,
     )

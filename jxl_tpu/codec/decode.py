@@ -26,8 +26,24 @@ from jxl_tpu.entropy.tokens import (
     unpack_bits,
     zigzag_unmap,
 )
+from jxl_tpu.strategy.acs import (
+    ACS_DCT4X4,
+    ACS_DCT4X8,
+    ACS_DCT8X4,
+    ACS_DCT16X16,
+    ACS_DCT32X32,
+    N_STRATEGIES,
+    effective_multiplier,
+    reassemble_merged,
+    step_grid_variants,
+    variant_index_map,
+)
+from jxl_tpu.transforms.adaptive import QF_LEVELS, qf_multiplier
+from jxl_tpu.transforms.epf import epf_apply
 from jxl_tpu.transforms.dct import idct2d, inverse_zigzag_order
-from jxl_tpu.transforms.quant import ac_steps_np, dc_steps_np
+from jxl_tpu.transforms.quant import dc_steps_t
+
+_SQRT2 = float(np.sqrt(2.0))
 
 
 def blocks_to_image(blocks: jnp.ndarray, height: int, width: int) -> jnp.ndarray:
@@ -37,8 +53,84 @@ def blocks_to_image(blocks: jnp.ndarray, height: int, width: int) -> jnp.ndarray
     return planes[:, :height, :width]
 
 
-@partial(jax.jit, static_argnames=("height", "width", "distance", "lanes"))
-def _decode_core(words, states, bit_words, freq, cum, *, height, width, distance, lanes):
+def _reconstruct_sub8(storage: jnp.ndarray, dc: jnp.ndarray, acs: jnp.ndarray):
+    """Pixel blocks for strategies 0..3, per-block selected by the acs map.
+
+    storage: [3, nby, nbx, 8, 8] dequantized coefficient storage,
+    dc: [3, nby, nbx] dequantized DC-plane values. Dense: every strategy's
+    inverse transform is computed for every block (batched MXU matmuls),
+    then masked select — the jit-friendly dual of the encoder's search.
+    """
+    # DCT 8x8
+    c8 = storage.at[..., 0, 0].set(dc)
+    out8 = idct2d(c8)
+
+    # DCT4X4: quadrants + Haar-mixed sub-DCs
+    m = jnp.stack(
+        [
+            jnp.stack([dc, storage[..., 0, 4]], axis=-1),
+            jnp.stack([storage[..., 4, 0], storage[..., 4, 4]], axis=-1),
+        ],
+        axis=-2,
+    )  # [3, nby, nbx, 2, 2]
+    subdc = idct2d(m)
+    q44 = storage.reshape(*storage.shape[:-2], 2, 4, 2, 4).transpose(
+        0, 1, 2, 3, 5, 4, 6
+    )  # [3, nby, nbx, qy, qx, 4, 4]
+    q44 = q44.at[..., 0, 0].set(subdc)
+    p44 = idct2d(q44)  # [3, nby, nbx, 2, 2, 4, 4]
+    out44 = p44.transpose(0, 1, 2, 3, 5, 4, 6).reshape(*storage.shape[:-2], 8, 8)
+
+    # DCT8X4: left/right halves
+    m1h = storage[..., 0, 4]
+    s0 = (dc + m1h) / _SQRT2
+    s1 = (dc - m1h) / _SQRT2
+    h84 = storage.reshape(*storage.shape[:-2], 8, 2, 4).transpose(0, 1, 2, 4, 3, 5)
+    h84 = h84.at[..., 0, 0, 0].set(s0).at[..., 1, 0, 0].set(s1)
+    p84 = idct2d(h84)  # [3, nby, nbx, 2, 8, 4]
+    out84 = p84.transpose(0, 1, 2, 4, 3, 5).reshape(*storage.shape[:-2], 8, 8)
+
+    # DCT4X8: top/bottom halves
+    m1v = storage[..., 4, 0]
+    t0 = (dc + m1v) / _SQRT2
+    t1 = (dc - m1v) / _SQRT2
+    h48 = storage.reshape(*storage.shape[:-2], 2, 4, 8)
+    h48 = h48.at[..., 0, 0, 0].set(t0).at[..., 1, 0, 0].set(t1)
+    p48 = idct2d(h48)  # [3, nby, nbx, 2, 4, 8]
+    out48 = p48.reshape(*storage.shape[:-2], 8, 8)
+
+    sel = acs[None, :, :, None, None]
+    out = jnp.where(sel == ACS_DCT4X4, out44, out8)
+    out = jnp.where(sel == ACS_DCT8X4, out84, out)
+    out = jnp.where(sel == ACS_DCT4X8, out48, out)
+    return out
+
+
+def _overlay_merged(pix: jnp.ndarray, storage, dc, acs, n: int, sid: int):
+    """Overwrite pixels of n x n merged groups (dense compute + mask)."""
+    k = n // 8
+    nby, nbx = acs.shape
+    gby, gbx = nby // k, nbx // k
+    if gby == 0 or gbx == 0:
+        return pix
+    slots = storage[:, : gby * k, : gbx * k].reshape(3, gby, k, gbx, k, 8, 8).transpose(
+        0, 1, 3, 2, 4, 5, 6
+    )  # [3, gby, gbx, k, k, 8, 8]
+    dcb = dc[:, : gby * k, : gbx * k].reshape(3, gby, k, gbx, k).transpose(0, 1, 3, 2, 4)
+    tiles = reassemble_merged(slots, dcb)  # [3, gby, gbx, n, n]
+    tile_img = tiles.transpose(0, 1, 3, 2, 4).reshape(3, gby * n, gbx * n)
+    mask = acs[: gby * k : k, : gbx * k : k] == sid  # group origin blocks
+    mask_img = jnp.repeat(jnp.repeat(mask, n, axis=0), n, axis=1)
+    hp, wp = pix.shape[-2:]
+    tile_full = jnp.pad(tile_img, ((0, 0), (0, hp - gby * n), (0, wp - gbx * n)))
+    mask_full = jnp.pad(mask_img, ((0, hp - gby * n), (0, wp - gbx * n)))
+    return jnp.where(mask_full[None], tile_full, pix)
+
+
+@partial(jax.jit, static_argnames=("height", "width", "lanes", "epf"))
+def _decode_core(
+    words, states, bit_words, freq, cum, distance, *, height, width, lanes, epf=True
+):
     lay = token_layout(height, width)
     ctx = jnp.asarray(lay["ctx"])
     n = lay["n_tokens"]
@@ -49,26 +141,43 @@ def _decode_core(words, states, bit_words, freq, cum, *, height, width, distance
     values = detokenize(tokens, mant)
     signed = zigzag_unmap(values)
 
-    n_dc = lay["n_dc"]
+    n_acs, n_qf, n_dc = lay["n_acs"], lay["n_qf"], lay["n_dc"]
     nb, nby, nbx = lay["nb"], lay["nby"], lay["nbx"]
 
-    dc_res = signed[:n_dc].reshape(3, nby, nbx)
+    acs = jnp.clip(values[:n_acs].astype(jnp.int32), 0, N_STRATEGIES - 1).reshape(
+        nby, nbx
+    )
+    qf_idx = jnp.clip(
+        values[n_acs : n_acs + n_qf].astype(jnp.int32), 0, QF_LEVELS - 1
+    ).reshape(nby, nbx)
+    qf_mul = qf_multiplier(qf_idx)
+
+    dc_res = signed[n_acs + n_qf : n_acs + n_qf + n_dc].reshape(3, nby, nbx)
     dcq = jnp.cumsum(jnp.cumsum(dc_res, axis=1), axis=2)  # inverse gradient predictor
 
-    ac = signed[n_dc:].reshape(3, nb, 63)
+    ac = signed[n_acs + n_qf + n_dc :].reshape(3, nb, 63)
     inv_zz = jnp.asarray(inverse_zigzag_order(8, 8))
     # Rebuild the 64-coefficient block: DC slot 0, then inverse zigzag.
     acq_zz = jnp.concatenate([jnp.zeros((3, nb, 1), jnp.int32), ac], axis=-1)
     acq = acq_zz[:, :, inv_zz].reshape(3, nby, nbx, 8, 8)
 
-    dc_step = jnp.asarray(dc_steps_np(distance))
-    ac_step = jnp.asarray(ac_steps_np(distance))
+    dc_step = dc_steps_t(distance)
+    dc = dcq.astype(jnp.float32) * dc_step[:, None, None]
 
-    coef = acq.astype(jnp.float32) * ac_step[:, None, None, :, :]
-    coef = coef.at[..., 0, 0].set(dcq.astype(jnp.float32) * dc_step[:, None, None])
+    variants = step_grid_variants(distance)
+    vidx = variant_index_map(acs)
+    eff_mul = effective_multiplier(qf_mul, acs)
+    qsteps = variants[vidx].transpose(2, 0, 1, 3, 4) * eff_mul[None, :, :, None, None]
+    storage = acq.astype(jnp.float32) * qsteps
 
-    blocks = idct2d(coef)
-    planes = blocks_to_image(blocks, height, width)
+    blocks = _reconstruct_sub8(storage, dc, acs)
+    planes = blocks.transpose(0, 1, 3, 2, 4).reshape(3, nby * 8, nbx * 8)
+    planes = _overlay_merged(planes, storage, dc, acs, 16, ACS_DCT16X16)
+    planes = _overlay_merged(planes, storage, dc, acs, 32, ACS_DCT32X32)
+    if epf:
+        planes = epf_apply(planes, eff_mul, distance)
+    planes = planes[:, :height, :width]
+
     x, y, b_res = planes[0], planes[1], planes[2]
     xyb = jnp.stack([x, y, b_res + y], axis=-1)
     srgb = xyb_to_srgb(xyb)
@@ -103,10 +212,11 @@ def decode_stream(stream: JxtStream) -> np.ndarray:
         jnp.asarray(bit_words),
         jnp.asarray(freq),
         jnp.asarray(cum),
+        jnp.float32(h.distance),
         height=h.height,
         width=h.width,
-        distance=float(h.distance),
         lanes=h.lanes,
+        epf=h.epf,
     )
     return np.asarray(rgb)
 

@@ -37,8 +37,9 @@ from jxl_tpu.entropy.tokens import (
     tokenize,
     zigzag_map,
 )
-from jxl_tpu.transforms.dct import dct2d
-from jxl_tpu.transforms.quant import ac_steps_np, dc_steps_np
+from jxl_tpu.strategy.acs import search_acs
+from jxl_tpu.transforms.adaptive import qf_multiplier, quant_field
+from jxl_tpu.transforms.quant import dc_steps_t
 
 
 def image_to_blocks(planes: jnp.ndarray, hp: int, wp: int) -> jnp.ndarray:
@@ -57,33 +58,72 @@ def dc_predict_residual(dcq: jnp.ndarray) -> jnp.ndarray:
     return dcq - w - n + nw
 
 
-def tokens_from_rgb(rgb: jnp.ndarray, *, height: int, width: int, distance: float):
+def tokens_from_rgb(
+    rgb: jnp.ndarray,
+    distance=1.0,
+    *,
+    height: int,
+    width: int,
+    effort: int = 7,
+    hook_a: bool = False,
+    hook_b: bool = False,
+):
     """Pixels -> (tokens, nbits, mantissa, histogram counts).
 
     Pure/traceable (no jit): also the vmap/shard_map building block of the
     distributed batch encoder (jxl_tpu.distributed.sharded).
+
+    Runs the full VarDCT path: XYB, AC-strategy search over variable block
+    sizes (strategy/acs.py), strategy-dependent quantization, DC gradient
+    prediction, tokenization. effort/hook_a/hook_b gate the search per
+    CodecConfig (SURVEY §2.4 activation matrix).
+
+    `distance` is a TRACED scalar: one compiled encoder serves every
+    distance of an RD sweep (the step tables are recomputed on device per
+    call — they are tiny).
     """
     lay = token_layout(height, width)
     img = rgb.astype(jnp.float32) / 255.0
     xyb = srgb_to_xyb(img)  # [H, W, 3]
     x, y, b = xyb[..., 0], xyb[..., 1], xyb[..., 2]
     planes = jnp.stack([x, y, b - y])  # B coded as residual vs luma
+    h0, w0 = planes.shape[-2:]
+    planes_p = jnp.pad(
+        planes, ((0, 0), (0, lay["hp"] - h0), (0, lay["wp"] - w0)), mode="edge"
+    )
 
     blocks = image_to_blocks(planes, lay["hp"], lay["wp"])
-    coef = dct2d(blocks)  # [3, nby, nbx, 8, 8]
 
-    dc_step = jnp.asarray(dc_steps_np(distance))
-    ac_step = jnp.asarray(ac_steps_np(distance))
+    # adaptive quantization: masking-driven per-block multiplier, signaled
+    qf_idx = quant_field(planes_p[1])  # [nby, nbx] int32
+    qf_mul = qf_multiplier(qf_idx)
 
-    dcq = jnp.round(coef[..., 0, 0] / dc_step[:, None, None]).astype(jnp.int32)
+    acs, qstorage, _qsteps = search_acs(
+        blocks,
+        planes_p,
+        distance,
+        effort=effort,
+        hook_a=hook_a,
+        hook_b=hook_b,
+        qf_mul=qf_mul,
+    )
+
+    # DC plane: exact 8x8 block means * 8 for every strategy.
+    dc_step = dc_steps_t(distance)
+    dc8 = jnp.mean(blocks, axis=(-2, -1)) * 8.0  # [3, nby, nbx]
+    dcq = jnp.round(dc8 / dc_step[:, None, None]).astype(jnp.int32)
     dc_res = dc_predict_residual(dcq)
 
-    acq = jnp.round(coef / ac_step[:, None, None, :, :]).astype(jnp.int32)
     zz = jnp.asarray(lay["zigzag"])
-    ac_zz = acq.reshape(3, lay["nb"], 64)[:, :, zz][..., 1:]  # [3, nb, 63]
+    ac_zz = qstorage.reshape(3, lay["nb"], 64)[:, :, zz][..., 1:]  # [3, nb, 63]
 
     values = jnp.concatenate(
-        [zigzag_map(dc_res.reshape(-1)), zigzag_map(ac_zz.reshape(-1))]
+        [
+            acs.reshape(-1).astype(jnp.uint32),  # small non-negative ids
+            qf_idx.reshape(-1).astype(jnp.uint32),
+            zigzag_map(dc_res.reshape(-1)),
+            zigzag_map(ac_zz.reshape(-1)),
+        ]
     )
     token, nbits, mant = tokenize(values)
 
@@ -96,9 +136,10 @@ def tokens_from_rgb(rgb: jnp.ndarray, *, height: int, width: int, distance: floa
     return token, nbits, mant, counts
 
 
-_encode_stage1 = partial(jax.jit, static_argnames=("height", "width", "distance"))(
-    tokens_from_rgb
-)
+_encode_stage1 = partial(
+    jax.jit,
+    static_argnames=("height", "width", "effort", "hook_a", "hook_b"),
+)(tokens_from_rgb)
 
 
 @partial(jax.jit, static_argnames=("height", "width", "lanes", "cap_words"))
@@ -125,7 +166,13 @@ def encode_image(rgb: np.ndarray, config: CodecConfig, orig_name: str = "") -> b
     lay = token_layout(h, w)
 
     token, nbits, mant, counts = _encode_stage1(
-        jnp.asarray(rgb), height=h, width=w, distance=float(config.distance)
+        jnp.asarray(rgb),
+        jnp.float32(config.distance),
+        height=h,
+        width=w,
+        effort=int(config.effort),
+        hook_a=config.strategy.hook_a,
+        hook_b=config.strategy.hook_b,
     )
 
     freq_np, cum_np = quantize_histograms(np.asarray(counts))
@@ -157,6 +204,7 @@ def encode_image(rgb: np.ndarray, config: CodecConfig, orig_name: str = "") -> b
         n_tokens=lay["n_tokens"],
         n_ctx=N_CTX,
         alphabet=ALPHABET,
+        flags=1 if config.epf else 0,
     )
     stream = JxtStream(
         header=header,

@@ -117,6 +117,29 @@ def rans_encode(tokens, ctx_ids, freq, cum, lanes: int = DEFAULT_LANES):
     return out.reshape(T, lanes).astype(jnp.uint16), lens, states
 
 
+def build_decode_table(freq, cum):
+    """[C, M] slot -> symbol lookup (plus fused per-slot freq/cum).
+
+    Turns the per-step symbol resolution into three gathers of `lanes`
+    elements from VMEM-resident tables (C*M entries), instead of a
+    [lanes, A] compare-reduce per scan step — the decode hot-path
+    optimization for TPU.
+    Returns (sym [C, M] int32, f_tab [C, M] uint32, bias [C, M] uint32)
+    where decoding is: s = sym[ctx, slot]; x = f_tab[ctx, slot] * (x >> P)
+    + slot - bias[ctx, slot].
+    """
+    C, A = freq.shape
+    cum_i32 = cum.astype(jnp.int32)
+    slots = jnp.arange(RANS_M, dtype=jnp.int32)
+    # sym[c, slot] = (number of cum entries <= slot) - 1
+    sym = (
+        jnp.sum(slots[None, :, None] >= cum_i32[:, None, :], axis=-1) - 1
+    ).astype(jnp.int32)
+    f_tab = jnp.take_along_axis(freq.astype(jnp.uint32), sym.astype(jnp.int32), axis=1)
+    bias = jnp.take_along_axis(cum.astype(jnp.uint32), sym.astype(jnp.int32), axis=1)
+    return sym, f_tab, bias
+
+
 def rans_decode(words, states, ctx_ids, freq, cum, n: int, lanes: int = DEFAULT_LANES):
     """Decode n tokens. words: [Wmax, lanes] uint16 (per-lane ascending),
     states: [lanes] uint32 (final encoder states), ctx_ids: [N] int32.
@@ -130,18 +153,21 @@ def rans_decode(words, states, ctx_ids, freq, cum, n: int, lanes: int = DEFAULT_
     valid = (jnp.arange(T * lanes) < n).reshape(T, lanes)
 
     words_u32 = words.astype(jnp.uint32)
-    freq = freq.astype(jnp.uint32)
-    cum_i32 = cum.astype(jnp.int32)  # for searchsorted-style compare
+    sym_tab, f_tab, bias_tab = build_decode_table(freq, cum)
+    # flatten to [C*M] so the per-step lookup is a single-axis gather
+    sym_flat = sym_tab.reshape(-1)
+    f_flat = f_tab.reshape(-1)
+    bias_flat = bias_tab.reshape(-1)
 
     def step(carry, inp):
         x, ptr = carry
         c_ids, v = inp
-        slot = x & jnp.uint32(RANS_M - 1)
-        cum_rows = cum_i32[c_ids]  # [lanes, A]
-        s = jnp.sum(slot.astype(jnp.int32)[:, None] >= cum_rows, axis=1) - 1
-        f = freq[c_ids, s]
-        cm = cum[c_ids, s].astype(jnp.uint32)
-        x_dec = f * (x >> RANS_PRECISION) + slot - cm
+        slot = (x & jnp.uint32(RANS_M - 1)).astype(jnp.int32)
+        idx = c_ids * RANS_M + slot
+        s = sym_flat[idx]
+        f = f_flat[idx]
+        cm = bias_flat[idx]
+        x_dec = f * (x >> RANS_PRECISION) + slot.astype(jnp.uint32) - cm
         need = jnp.logical_and(v, x_dec < RANS_L)
         w = jnp.take_along_axis(words_u32, ptr[None, :], axis=0)[0]
         x_new = jnp.where(need, (x_dec << 16) | w, x_dec)

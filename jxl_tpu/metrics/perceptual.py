@@ -39,9 +39,19 @@ def _blur(img, sigma: float):
     pad = radius
     img_p = jnp.pad(img, ((pad, pad), (pad, pad), (0, 0)), mode="symmetric")
     v = jax.lax.conv_general_dilated(
-        img_p.transpose(2, 0, 1)[:, None], k[None, None, :, None], (1, 1), "VALID"
+        img_p.transpose(2, 0, 1)[:, None],
+        k[None, None, :, None],
+        (1, 1),
+        "VALID",
+        precision=jax.lax.Precision.HIGHEST,
     )
-    h = jax.lax.conv_general_dilated(v, k[None, None, None, :], (1, 1), "VALID")
+    h = jax.lax.conv_general_dilated(
+        v,
+        k[None, None, None, :],
+        (1, 1),
+        "VALID",
+        precision=jax.lax.Precision.HIGHEST,
+    )
     return h[:, 0].transpose(1, 2, 0)
 
 

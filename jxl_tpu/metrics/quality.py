@@ -57,8 +57,11 @@ def _gaussian_kernel(radius: int = 5, sigma: float = 1.5) -> jnp.ndarray:
 
 
 def _filter2d_sep(img, kernel):
-    """Separable 2D filter over the leading two axes of [H, W, C]."""
-    k = kernel[:, None, None]
+    """Separable 2D filter over the leading two axes of [H, W, C].
+
+    precision=HIGHEST: TPU convs default to bf16 inputs, which corrupts the
+    variance cancellations in SSIM (identical images scored ~0.98).
+    """
     pad = kernel.shape[0] // 2
     # reflect-pad then valid conv via depthwise approach using lax.conv
     img_p = jnp.pad(img, ((pad, pad), (pad, pad), (0, 0)), mode="symmetric")
@@ -68,14 +71,15 @@ def _filter2d_sep(img, kernel):
         kernel[None, None, :, None],
         (1, 1),
         "VALID",
+        precision=jax.lax.Precision.HIGHEST,
     )
     h = jax.lax.conv_general_dilated(
         v,
         kernel[None, None, None, :],
         (1, 1),
         "VALID",
+        precision=jax.lax.Precision.HIGHEST,
     )
-    del k
     return h[:, 0].transpose(1, 2, 0)
 
 

@@ -43,22 +43,17 @@ ACS_DCT8X4 = 2
 ACS_DCT4X8 = 3
 
 
-def laplacian_edge_threshold(distance: float) -> float:
-    """diff:163-168."""
-    if distance > 10.0:
-        return 0.40
-    if distance <= 2.0:
-        return 0.15
-    return 0.25
+def laplacian_edge_threshold(distance):
+    """diff:163-168. Accepts python floats or traced jnp scalars (the codec
+    traces distance so one compiled encoder serves a whole RD sweep)."""
+    d = jnp.asarray(distance, jnp.float32)
+    return jnp.where(d > 10.0, 0.40, jnp.where(d <= 2.0, 0.15, 0.25))
 
 
-def partition_threshold(distance: float) -> float:
-    """diff:219-224."""
-    if distance > 10.0:
-        return 1.80
-    if distance <= 3.0:
-        return 1.50
-    return 1.60
+def partition_threshold(distance):
+    """diff:219-224. Traced-distance friendly like laplacian_edge_threshold."""
+    d = jnp.asarray(distance, jnp.float32)
+    return jnp.where(d > 10.0, 1.80, jnp.where(d <= 3.0, 1.50, 1.60))
 
 
 def _laplacian_map(y_plane: jnp.ndarray) -> jnp.ndarray:

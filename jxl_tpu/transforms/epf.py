@@ -1,0 +1,46 @@
+"""Edge-preserving filter (EPF) — decode-side deblocking/deringing.
+
+libjxl's adaptive loop filter (part of the VarDCT pipeline the reference
+invokes through cjxl/djxl) smooths quantization artifacts while keeping
+edges: neighbor contributions are down-weighted when they differ more than
+the expected quantization noise. TPU-native version: one vectorized pass of
+a 4-neighbor cross kernel over the XYB planes, with per-pixel sigma derived
+from the signaled quant field (coarser blocks -> stronger smoothing) —
+pure elementwise ops, fused by XLA into the decode pipeline.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+# base sigma per channel at distance=1, qf=1 (XYB units); B uses the Y value
+# since it is coded as a residual on top of Y.
+_EPF_BASE = (0.0035, 0.0045, 0.008)
+_EPF_DISTANCE_POW = 0.8
+
+
+def epf_apply(planes: jnp.ndarray, eff_mul: jnp.ndarray, distance) -> jnp.ndarray:
+    """planes: [3, Hp, Wp] XYB (B as residual); eff_mul: [nby, nbx] per-block
+    step multipliers; distance: traced scalar. Returns filtered planes."""
+    d = jnp.maximum(jnp.asarray(distance, jnp.float32), 1e-4)
+    strength = d**_EPF_DISTANCE_POW
+    sig_block = eff_mul * strength  # [nby, nbx]
+    sig_pix = jnp.repeat(jnp.repeat(sig_block, 8, axis=0), 8, axis=1)
+    h, w = planes.shape[-2:]
+    sig_pix = sig_pix[:h, :w]
+
+    out = []
+    for c in range(3):
+        x = planes[c]
+        sigma = sig_pix * _EPF_BASE[c]
+        xp = jnp.pad(x, 1, mode="edge")
+        acc = x
+        wacc = jnp.ones_like(x)
+        for dy, dx in ((-1, 0), (1, 0), (0, -1), (0, 1)):
+            nb = xp[1 + dy : 1 + dy + h, 1 + dx : 1 + dx + w]
+            t = jnp.abs(nb - x) / jnp.maximum(sigma, 1e-8)
+            wgt = jnp.maximum(0.0, 1.0 - 0.5 * t * t)
+            acc = acc + wgt * nb
+            wacc = wacc + wgt
+        out.append(acc / wacc)
+    return jnp.stack(out)

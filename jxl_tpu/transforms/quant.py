@@ -19,10 +19,11 @@ import jax.numpy as jnp
 import numpy as np
 
 # Per-channel base steps at distance = 1 (X, Y, B-residual).
-# Tuned so d=1 lands near "visually lossless" (~40 dB PSNR on photographic
-# content) with bpp comparable to high-quality JPEG XL output.
-CHAN_BASE = np.array([0.0015, 0.0018, 0.0032], dtype=np.float32)
-DC_CHAN_BASE = np.array([0.0009, 0.0009, 0.0016], dtype=np.float32)
+# Calibrated empirically (see round-1 sweep: PSNR/bpp vs scale on synthetic
+# photographic content) so d=1 lands near "visually lossless" (~40-42 dB
+# PSNR) — the cjxl --distance=1 operating point.
+CHAN_BASE = np.array([0.0075, 0.0090, 0.0160], dtype=np.float32)
+DC_CHAN_BASE = np.array([0.0036, 0.0036, 0.0064], dtype=np.float32)
 
 # Frequency weighting strength: higher frequencies get coarser steps.
 FREQ_STRENGTH = 3.0
@@ -69,6 +70,27 @@ def ac_steps(distance: float, n: int = 8, m: int = 8) -> jnp.ndarray:
 
 def dc_steps(distance: float) -> jnp.ndarray:
     return jnp.asarray(dc_steps_np(distance))
+
+
+# --- traced-distance versions (used inside jit so one compiled encoder /
+# decoder serves every distance of an RD sweep; only the tiny step tables
+# are recomputed per call) -------------------------------------------------
+
+
+def distance_scale_t(distance) -> jnp.ndarray:
+    d = jnp.maximum(jnp.asarray(distance, jnp.float32), 1e-4)
+    return jnp.where(d <= 1.0, d, d**0.9)
+
+
+def ac_steps_t(distance, n: int = 8, m: int = 8) -> jnp.ndarray:
+    """[3, n, m] AC steps from a (possibly traced) distance scalar."""
+    w = jnp.asarray(_freq_weight_np(n, m))[None, :, :]
+    return jnp.asarray(CHAN_BASE)[:, None, None] * distance_scale_t(distance) * w
+
+
+def dc_steps_t(distance) -> jnp.ndarray:
+    d = jnp.maximum(jnp.asarray(distance, jnp.float32), 1e-4)
+    return jnp.asarray(DC_CHAN_BASE) * d**0.6
 
 
 def quantize(coeffs: jnp.ndarray, steps: jnp.ndarray) -> jnp.ndarray:

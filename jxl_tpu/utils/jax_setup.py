@@ -11,9 +11,20 @@ import os
 
 
 def configure_jax() -> None:
+    import jax
+
+    # Platform override via config API: the axon TPU plugin ignores the
+    # JAX_PLATFORMS env var, so JXL_TPU_PLATFORM=cpu is the reliable way to
+    # run the CLI/bench off-TPU.
+    platform = os.environ.get("JXL_TPU_PLATFORM")
+    if platform:
+        try:
+            jax.config.update("jax_platforms", platform)
+        except Exception:
+            pass
+
     if os.environ.get("JXL_TPU_NO_CACHE"):
         return
-    import jax
 
     cache_dir = os.environ.get(
         "JXL_TPU_CACHE_DIR",

@@ -6,13 +6,18 @@ reference never had — SURVEY §4 implications)."""
 
 import os
 
-# Hard-set (not setdefault): the machine environment pins JAX_PLATFORMS=axon
-# (the real TPU tunnel), which is single-client and slow to init — tests must
-# never grab it.
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+# The axon TPU plugin registers itself regardless of the JAX_PLATFORMS env
+# var (verified: env JAX_PLATFORMS=cpu still yields the TPU device), and the
+# tunnel is single-client — tests must force CPU through the config API,
+# which does win over the plugin. Same for the virtual device count
+# (jax_num_cpu_devices replaces the old XLA_FLAGS mechanism in jax 0.9).
+os.environ["JAX_PLATFORMS"] = "cpu"  # belt...
+os.environ["JXL_TPU_NO_CACHE"] = "1"  # per-platform compile caches don't mix
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")  # ...and suspenders
+jax.config.update("jax_num_cpu_devices", 8)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -1,0 +1,149 @@
+"""AC-strategy machinery tests: layout invertibility + search sanity +
+variant round-trips through the full codec."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from jxl_tpu.codec.config import CodecConfig, Strategy
+from jxl_tpu.codec.decode import decode_bytes
+from jxl_tpu.codec.encode import encode_image
+from jxl_tpu.metrics import calculate_psnr
+from jxl_tpu.strategy.acs import (
+    ACS_DCT,
+    ACS_DCT4X4,
+    ACS_DCT16X16,
+    ACS_DCT32X32,
+    candidates_merged,
+    candidates_sub8,
+    reassemble_merged,
+    search_acs,
+    step_grid_variants,
+    variant_index_map,
+)
+from jxl_tpu.transforms.dct import dct2d
+from tests.conftest import make_test_image
+
+
+def _planes(h, w, seed=0):
+    rng = np.random.default_rng(seed)
+    return jnp.asarray(rng.normal(0, 0.1, (3, h, w)).astype(np.float32))
+
+
+def _blocks(planes):
+    c, h, w = planes.shape
+    return planes.reshape(c, h // 8, 8, w // 8, 8).transpose(0, 1, 3, 2, 4)
+
+
+def test_sub8_candidates_dc_invariant():
+    """Every sub-8 strategy's implied DC equals the 8x8 block mean * 8."""
+    planes = _planes(16, 16)
+    blocks = _blocks(planes)
+    cands = candidates_sub8(blocks)
+    dc8 = np.asarray(jnp.mean(blocks, axis=(-2, -1)) * 8.0)
+    # For DCT, the (0,0) coefficient was zeroed but DCT's own DC = mean*8:
+    c8 = np.asarray(dct2d(blocks))
+    np.testing.assert_allclose(c8[..., 0, 0], dc8, atol=1e-4)
+    # For the split strategies the DC lives in the (zeroed) M00/m0 slot; the
+    # stored (0,4)/(4,0)/(4,4) slots plus DC must reproduce the sub-DCs.
+    assert np.allclose(np.asarray(cands[ACS_DCT])[..., 0, 0], 0.0)
+    assert np.allclose(np.asarray(cands[ACS_DCT4X4])[..., 0, 0], 0.0)
+
+
+def test_merged_candidates_shape_and_lowfreq():
+    planes = _planes(64, 96)
+    slots16 = candidates_merged(planes, 16)
+    assert slots16.shape == (3, 4, 6, 2, 2, 8, 8)
+    # lowfreq 2x2 of C16 zeroed => stored at quadrant (0,0) positions (0..1, 0..1)
+    s = np.asarray(slots16)
+    assert np.allclose(s[:, :, :, 0, 0, :2, :2], 0.0)
+
+
+def test_merged_roundtrip_exact_on_smooth():
+    """For content whose DC plane captures the lowfreq exactly (flat),
+    reassemble_merged inverts candidates_merged + DC injection."""
+    planes = jnp.full((3, 32, 32), 0.37, jnp.float32)
+    slots = candidates_merged(planes, 16)
+    dcb = jnp.full((3, 2, 2, 2, 2), 0.37 * 8.0, jnp.float32)
+    tiles = reassemble_merged(slots, dcb)
+    np.testing.assert_allclose(np.asarray(tiles), 0.37, atol=1e-4)
+
+
+def test_variant_index_map():
+    acs = jnp.asarray(
+        np.array(
+            [
+                [4, 4, 0, 1],
+                [4, 4, 2, 3],
+            ],
+            np.int32,
+        )
+    )
+    v = np.asarray(variant_index_map(acs))
+    assert v[0, 0] == 4 and v[0, 1] == 5 and v[1, 0] == 6 and v[1, 1] == 7
+    assert v[0, 2] == 0 and v[0, 3] == 1 and v[1, 2] == 2 and v[1, 3] == 3
+
+
+def test_step_grids_positive():
+    v = step_grid_variants(1.0)
+    assert v.shape == (24, 3, 8, 8)
+    assert (v > 0).all()
+
+
+def test_search_flat_prefers_merges():
+    planes = jnp.full((3, 64, 64), 0.5, jnp.float32)
+    blocks = _blocks(planes)
+    acs, qstorage, qsteps = search_acs(
+        blocks, planes, 1.0, effort=7, hook_a=False, hook_b=False
+    )
+    # flat content: everything merges to 32x32
+    assert int(jnp.sum(acs == ACS_DCT32X32)) == 64
+    assert int(jnp.abs(qstorage).max()) == 0  # no AC energy
+
+
+def test_search_textured_mixes_strategies():
+    img = make_test_image(64, 64, seed=11).astype(np.float32) / 255.0
+    planes = jnp.asarray(np.transpose(img, (2, 0, 1)))
+    blocks = _blocks(planes)
+    acs, _, _ = search_acs(blocks, planes, 1.0, effort=7, hook_a=False, hook_b=False)
+    assert acs.shape == (8, 8)
+    assert int(acs.min()) >= 0 and int(acs.max()) <= 5
+
+
+@pytest.mark.parametrize(
+    "strategy",
+    [
+        Strategy.BASELINE,
+        Strategy.HOMOGENEITY_PARTITIONING,
+        Strategy.HOMOGENEITY_FACTORED_ENTROPY,
+        Strategy.COMBINED,
+    ],
+)
+def test_codec_roundtrip_all_strategies(strategy):
+    img = make_test_image(64, 80, seed=3)
+    cfg = CodecConfig(distance=1.0, effort=7, strategy=strategy)
+    data = encode_image(img, cfg)
+    out = decode_bytes(data)
+    psnr = calculate_psnr(img, out)
+    assert psnr > 32.0, (strategy, psnr)
+
+
+def test_effort_gates_block_sizes():
+    img = make_test_image(64, 64, seed=4)
+    sizes = {}
+    for effort in (3, 5, 7):
+        data = encode_image(img, CodecConfig(distance=2.0, effort=effort))
+        out = decode_bytes(data)
+        sizes[effort] = len(data)
+        assert calculate_psnr(img, out) > 30.0
+    # higher effort never produces a larger stream on this content
+    assert sizes[7] <= sizes[5] + 64
+    assert sizes[5] <= sizes[3] + 64
+
+
+def test_flat_image_with_merges_is_tiny_and_exact():
+    img = np.full((64, 64, 3), 170, np.uint8)
+    data = encode_image(img, CodecConfig(distance=1.0, effort=7))
+    out = decode_bytes(data)
+    assert calculate_psnr(img, out) > 40.0
+    assert len(data) * 8 / (64 * 64) < 2.0
