@@ -22,7 +22,7 @@ Layout (all little-endian):
   u8      len_width (2|4); u16/u32[K] per-lane word counts
   u32[K]  per-lane final rANS states
   u32     n_stream_words; u16[n_stream_words] rANS words (ragged lanes concat)
-  u32     total_raw_bits; u32 n_bit_words; u32[n_bit_words] packed mantissas
+  u32     n_mant_bytes; u8[n_mant_bytes] mantissa bytes (LE per value)
   u32     n_acs_extra; ...     (reserved)
 """
 
@@ -34,7 +34,7 @@ from dataclasses import dataclass
 import numpy as np
 
 MAGIC = b"JXT1"
-VERSION = 2  # v2: AC-strategy map section (variable block sizes)
+VERSION = 3  # v3: byte-aligned mantissa stream (TOKEN_SPLIT=32)
 
 
 def _pack_freq_tables(freq: np.ndarray) -> bytes:
@@ -111,8 +111,7 @@ class JxtStream:
     lens: np.ndarray  # [K] uint32
     states: np.ndarray  # [K] uint32
     stream_words: bytes  # ragged per-lane concat, u16 LE
-    total_raw_bits: int
-    bit_words: np.ndarray  # [n_bit_words] uint32
+    mant_bytes: bytes  # byte-aligned mantissas, little-endian per value
     acs_extra: bytes = b""
 
 
@@ -143,8 +142,8 @@ def write_container(s: JxtStream) -> bytes:
         s.states.astype("<u4").tobytes(),
         struct.pack("<I", len(s.stream_words) // 2),
         s.stream_words,
-        struct.pack("<II", s.total_raw_bits, len(s.bit_words)),
-        s.bit_words.astype("<u4").tobytes(),
+        struct.pack("<I", len(s.mant_bytes)),
+        s.mant_bytes,
         struct.pack("<I", len(s.acs_extra)),
         s.acs_extra,
     ]
@@ -178,12 +177,10 @@ def read_container(data: bytes) -> JxtStream:
     off += 4
     stream_words = data[off : off + n_stream_words * 2]
     off += n_stream_words * 2
-    total_raw_bits, n_bit_words = struct.unpack_from("<II", data, off)
-    off += 8
-    bit_words = np.frombuffer(data, dtype="<u4", count=n_bit_words, offset=off).astype(
-        np.uint32
-    )
-    off += n_bit_words * 4
+    (n_mant_bytes,) = struct.unpack_from("<I", data, off)
+    off += 4
+    mant_bytes = data[off : off + n_mant_bytes]
+    off += n_mant_bytes
     (n_acs,) = struct.unpack_from("<I", data, off)
     off += 4
     acs_extra = data[off : off + n_acs]
@@ -206,8 +203,7 @@ def read_container(data: bytes) -> JxtStream:
         lens=lens,
         states=states,
         stream_words=stream_words,
-        total_raw_bits=total_raw_bits,
-        bit_words=bit_words,
+        mant_bytes=mant_bytes,
         acs_extra=acs_extra,
     )
 

@@ -23,7 +23,7 @@ from jxl_tpu.entropy.rans import deserialize_streams, rans_decode
 from jxl_tpu.entropy.tokens import (
     detokenize,
     token_nbits,
-    unpack_bits,
+    unpack_bytes,
     zigzag_unmap,
 )
 from jxl_tpu.strategy.acs import (
@@ -36,11 +36,11 @@ from jxl_tpu.strategy.acs import (
     effective_multiplier,
     reassemble_merged,
     step_grid_variants,
-    variant_index_map,
+    steps_field,
 )
 from jxl_tpu.transforms.adaptive import QF_LEVELS, qf_multiplier
 from jxl_tpu.transforms.epf import epf_apply
-from jxl_tpu.transforms.dct import idct2d, inverse_zigzag_order
+from jxl_tpu.transforms.dct import idct2d, inverse_zigzag_order, permute_last
 from jxl_tpu.transforms.quant import dc_steps_t
 
 _SQRT2 = float(np.sqrt(2.0))
@@ -129,7 +129,7 @@ def _overlay_merged(pix: jnp.ndarray, storage, dc, acs, n: int, sid: int):
 
 @partial(jax.jit, static_argnames=("height", "width", "lanes", "epf"))
 def _decode_core(
-    words, states, bit_words, freq, cum, distance, *, height, width, lanes, epf=True
+    words, states, mant_arr, freq, cum, distance, *, height, width, lanes, epf=True
 ):
     lay = token_layout(height, width)
     ctx = jnp.asarray(lay["ctx"])
@@ -137,7 +137,7 @@ def _decode_core(
 
     tokens = rans_decode(words, states, ctx, freq, cum, n, lanes=lanes)
     nbits = token_nbits(tokens)
-    mant = unpack_bits(nbits, bit_words)
+    mant = unpack_bytes(nbits, mant_arr)
     values = detokenize(tokens, mant)
     signed = zigzag_unmap(values)
 
@@ -156,18 +156,17 @@ def _decode_core(
     dcq = jnp.cumsum(jnp.cumsum(dc_res, axis=1), axis=2)  # inverse gradient predictor
 
     ac = signed[n_acs + n_qf + n_dc :].reshape(3, nb, 63)
-    inv_zz = jnp.asarray(inverse_zigzag_order(8, 8))
-    # Rebuild the 64-coefficient block: DC slot 0, then inverse zigzag.
+    # Rebuild the 64-coefficient block: DC slot 0, then inverse zigzag
+    # (as a permutation matmul — see transforms.dct.permute_last).
     acq_zz = jnp.concatenate([jnp.zeros((3, nb, 1), jnp.int32), ac], axis=-1)
-    acq = acq_zz[:, :, inv_zz].reshape(3, nby, nbx, 8, 8)
+    acq = permute_last(acq_zz, inverse_zigzag_order(8, 8)).reshape(3, nby, nbx, 8, 8)
 
     dc_step = dc_steps_t(distance)
     dc = dcq.astype(jnp.float32) * dc_step[:, None, None]
 
     variants = step_grid_variants(distance)
-    vidx = variant_index_map(acs)
     eff_mul = effective_multiplier(qf_mul, acs)
-    qsteps = variants[vidx].transpose(2, 0, 1, 3, 4) * eff_mul[None, :, :, None, None]
+    qsteps = steps_field(variants, acs, eff_mul)
     storage = acq.astype(jnp.float32) * qsteps
 
     blocks = _reconstruct_sub8(storage, dc, acs)
@@ -194,11 +193,14 @@ def decode_stream(stream: JxtStream) -> np.ndarray:
     if words_np.shape[0] < T:  # pad to the static scan length
         words_np = np.pad(words_np, ((0, T - words_np.shape[0]), (0, 0)))
 
-    from jxl_tpu.entropy.tokens import bit_capacity_words
-
-    cap = bit_capacity_words(lay["n_tokens"])
-    bit_words = np.zeros(cap, dtype=np.uint32)
-    bit_words[: stream.bit_words.shape[0]] = stream.bit_words
+    # Mantissa bytes land in a power-of-two-bucketed uint32 array so decode
+    # shapes (and compilations) don't vary per image content.
+    raw = np.frombuffer(stream.mant_bytes, dtype=np.uint8)
+    bucket = 4096
+    while bucket < raw.shape[0]:
+        bucket *= 2
+    mant_arr = np.zeros(bucket, dtype=np.uint32)
+    mant_arr[: raw.shape[0]] = raw
 
     freq = stream.freq.astype(np.uint32)
     cum = np.concatenate(
@@ -209,7 +211,7 @@ def decode_stream(stream: JxtStream) -> np.ndarray:
     rgb = _decode_core(
         jnp.asarray(words_np),
         jnp.asarray(stream.states),
-        jnp.asarray(bit_words),
+        jnp.asarray(mant_arr),
         jnp.asarray(freq),
         jnp.asarray(cum),
         jnp.float32(h.distance),

@@ -19,6 +19,7 @@ with two cumsums instead of a sequential wavefront.
 
 from __future__ import annotations
 
+from dataclasses import replace
 from functools import partial
 
 import jax
@@ -32,12 +33,13 @@ from jxl_tpu.core.xyb import srgb_to_xyb
 from jxl_tpu.entropy.rans import quantize_histograms, rans_encode, serialize_streams
 from jxl_tpu.entropy.tokens import (
     ALPHABET,
-    bit_capacity_words,
-    pack_bits,
+    byte_capacity,
+    pack_bytes,
     tokenize,
     zigzag_map,
 )
 from jxl_tpu.strategy.acs import search_acs
+from jxl_tpu.transforms.dct import permute_last
 from jxl_tpu.transforms.adaptive import qf_multiplier, quant_field
 from jxl_tpu.transforms.quant import dc_steps_t
 
@@ -114,8 +116,7 @@ def tokens_from_rgb(
     dcq = jnp.round(dc8 / dc_step[:, None, None]).astype(jnp.int32)
     dc_res = dc_predict_residual(dcq)
 
-    zz = jnp.asarray(lay["zigzag"])
-    ac_zz = qstorage.reshape(3, lay["nb"], 64)[:, :, zz][..., 1:]  # [3, nb, 63]
+    ac_zz = permute_last(qstorage.reshape(3, lay["nb"], 64), lay["zigzag"])[..., 1:]
 
     values = jnp.concatenate(
         [
@@ -142,13 +143,13 @@ _encode_stage1 = partial(
 )(tokens_from_rgb)
 
 
-@partial(jax.jit, static_argnames=("height", "width", "lanes", "cap_words"))
-def _encode_stage2(token, nbits, mant, freq, cum, *, height: int, width: int, lanes: int, cap_words: int):
+@partial(jax.jit, static_argnames=("height", "width", "lanes", "cap_bytes"))
+def _encode_stage2(token, nbits, mant, freq, cum, *, height: int, width: int, lanes: int, cap_bytes: int):
     lay = token_layout(height, width)
     ctx = jnp.asarray(lay["ctx"])
     words, lens, states = rans_encode(token, ctx, freq, cum, lanes=lanes)
-    bit_words, total_bits = pack_bits(nbits, mant, cap_words)
-    return words, lens, states, bit_words, total_bits
+    mant_arr, total_bytes = pack_bytes(nbits, mant, cap_bytes)
+    return words, lens, states, mant_arr, total_bytes
 
 
 def pick_lanes(n_tokens: int, max_lanes: int) -> int:
@@ -161,8 +162,16 @@ def pick_lanes(n_tokens: int, max_lanes: int) -> int:
 
 
 def encode_image(rgb: np.ndarray, config: CodecConfig, orig_name: str = "") -> bytes:
-    """Encode an RGB u8 [H, W, 3] image to JXT bytes."""
+    """Encode an RGB u8 [H, W, 3] image to JXT bytes.
+
+    distance is floored at 0.05: the legacy sweep grid includes d=0.0
+    (`old_test_jxl.py:16-27`, meaning lossless in cjxl terms); this codec's
+    lossy path maps it to its finest quantization instead (a true lossless
+    mode is future work), keeping quantized values within token range.
+    """
     h, w = int(rgb.shape[0]), int(rgb.shape[1])
+    if config.distance < 0.05:
+        config = replace(config, distance=0.05)
     lay = token_layout(h, w)
 
     token, nbits, mant, counts = _encode_stage1(
@@ -176,10 +185,10 @@ def encode_image(rgb: np.ndarray, config: CodecConfig, orig_name: str = "") -> b
     )
 
     freq_np, cum_np = quantize_histograms(np.asarray(counts))
-    cap = bit_capacity_words(lay["n_tokens"])
+    cap = byte_capacity(lay["n_tokens"])
     lanes = pick_lanes(lay["n_tokens"], config.lanes)
 
-    words, lens, states, bit_words, total_bits = _encode_stage2(
+    words, lens, states, mant_arr, total_bytes = _encode_stage2(
         token,
         nbits,
         mant,
@@ -188,11 +197,16 @@ def encode_image(rgb: np.ndarray, config: CodecConfig, orig_name: str = "") -> b
         height=h,
         width=w,
         lanes=lanes,
-        cap_words=cap,
+        cap_bytes=cap,
     )
 
-    total_bits = int(total_bits)
-    n_bit_words = (total_bits + 31) // 32
+    # Trim device->host transfers to the used prefixes (the capacity
+    # allocations are worst-case; actual payloads are far smaller).
+    total_bytes = int(total_bytes)
+    lens_np = np.asarray(lens).astype(np.uint32)
+    wmax = max(1, int(lens_np.max()))
+    words_np = np.asarray(words[:wmax])
+    mant_np = np.asarray(mant_arr[: max(1, total_bytes)]).astype(np.uint8)
     header = JxtHeader(
         height=h,
         width=w,
@@ -209,11 +223,10 @@ def encode_image(rgb: np.ndarray, config: CodecConfig, orig_name: str = "") -> b
     stream = JxtStream(
         header=header,
         freq=freq_np,
-        lens=np.asarray(lens).astype(np.uint32),
+        lens=lens_np,
         states=np.asarray(states).astype(np.uint32),
-        stream_words=serialize_streams(np.asarray(words), np.asarray(lens)),
-        total_raw_bits=total_bits,
-        bit_words=np.asarray(bit_words)[:n_bit_words],
+        stream_words=serialize_streams(words_np, lens_np),
+        mant_bytes=mant_np.tobytes(),
     )
     return write_container(stream)
 

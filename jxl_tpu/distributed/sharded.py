@@ -25,7 +25,7 @@ from jxl_tpu.codec.encode import tokens_from_rgb
 from jxl_tpu.codec.layout import N_CTX, token_layout
 from jxl_tpu.distributed.mesh import batch_sharding, make_mesh
 from jxl_tpu.entropy.rans import rans_encode
-from jxl_tpu.entropy.tokens import ALPHABET, bit_capacity_words, pack_bits
+from jxl_tpu.entropy.tokens import ALPHABET, byte_capacity, pack_bytes
 
 
 def uniform_tables():
@@ -47,11 +47,9 @@ def _single_image_step(rgb, freq, cum, *, height, width, distance, lanes):
     lay = token_layout(height, width)
     ctx = jnp.asarray(lay["ctx"])
     words, lens, states = rans_encode(token, ctx, freq, cum, lanes=lanes)
-    bit_words, total_bits = pack_bits(
-        nbits, mant, bit_capacity_words(lay["n_tokens"])
-    )
-    # compressed payload bytes: rANS words + raw bits (headers excluded)
-    nbytes = 2 * jnp.sum(lens) + (total_bits + 7) // 8
+    _mant_arr, total_mant = pack_bytes(nbits, mant, byte_capacity(lay["n_tokens"]))
+    # compressed payload bytes: rANS words + mantissa bytes (headers excluded)
+    nbytes = 2 * jnp.sum(lens) + total_mant
     return nbytes, counts
 
 

@@ -88,8 +88,12 @@ def rans_encode(tokens, ctx_ids, freq, cum, lanes: int = DEFAULT_LANES):
     ctx = jnp.concatenate([ctx_ids.astype(jnp.int32), jnp.zeros(pad, jnp.int32)])
     valid = (jnp.arange(T * lanes) < n).reshape(T, lanes)
 
-    f_all = freq[ctx, tok].reshape(T, lanes).astype(jnp.uint32)
-    c_all = cum[ctx, tok].reshape(T, lanes).astype(jnp.uint32)
+    # single fused gather: freq in the low half-word, cum in the high
+    # (both < 4096) — gathers are the dominant per-element cost on TPU.
+    combo_tab = freq.astype(jnp.uint32) | (cum.astype(jnp.uint32) << 16)
+    combo = combo_tab[ctx, tok].reshape(T, lanes)
+    f_all = combo & jnp.uint32(0xFFFF)
+    c_all = combo >> 16
 
     def step(states, inp):
         f, c, v = inp
@@ -103,7 +107,11 @@ def rans_encode(tokens, ctx_ids, freq, cum, lanes: int = DEFAULT_LANES):
         return x, (word, emit)
 
     init = jnp.full((lanes,), RANS_L, dtype=jnp.uint32)
-    states, (words, emits) = jax.lax.scan(step, init, (f_all, c_all, valid), reverse=True)
+    # unroll: the body is a handful of vector ops; loop overhead dominates
+    # on TPU, so materializing several bodies per iteration is a large win.
+    states, (words, emits) = jax.lax.scan(
+        step, init, (f_all, c_all, valid), reverse=True, unroll=8
+    )
 
     # Compact emissions per lane in ascending-step order.
     wcount = jnp.cumsum(emits.astype(jnp.int32), axis=0)
@@ -118,26 +126,25 @@ def rans_encode(tokens, ctx_ids, freq, cum, lanes: int = DEFAULT_LANES):
 
 
 def build_decode_table(freq, cum):
-    """[C, M] slot -> symbol lookup (plus fused per-slot freq/cum).
+    """[C, M] fused slot -> (symbol, freq, cum-bias) lookup.
 
-    Turns the per-step symbol resolution into three gathers of `lanes`
-    elements from VMEM-resident tables (C*M entries), instead of a
-    [lanes, A] compare-reduce per scan step — the decode hot-path
-    optimization for TPU.
-    Returns (sym [C, M] int32, f_tab [C, M] uint32, bias [C, M] uint32)
-    where decoding is: s = sym[ctx, slot]; x = f_tab[ctx, slot] * (x >> P)
-    + slot - bias[ctx, slot].
+    One uint32 entry per slot — sym in bits 0..5, freq in 6..17, bias in
+    18..29 — so the per-step symbol resolution is a SINGLE gather of `lanes`
+    elements from a VMEM-resident table instead of a [lanes, A]
+    compare-reduce (gathers dominate per-element cost on TPU; pass count is
+    what matters).
     """
     C, A = freq.shape
+    assert A <= 64, "fused table packs the symbol id into 6 bits"
     cum_i32 = cum.astype(jnp.int32)
     slots = jnp.arange(RANS_M, dtype=jnp.int32)
     # sym[c, slot] = (number of cum entries <= slot) - 1
     sym = (
         jnp.sum(slots[None, :, None] >= cum_i32[:, None, :], axis=-1) - 1
     ).astype(jnp.int32)
-    f_tab = jnp.take_along_axis(freq.astype(jnp.uint32), sym.astype(jnp.int32), axis=1)
-    bias = jnp.take_along_axis(cum.astype(jnp.uint32), sym.astype(jnp.int32), axis=1)
-    return sym, f_tab, bias
+    f_tab = jnp.take_along_axis(freq.astype(jnp.uint32), sym, axis=1)
+    bias = jnp.take_along_axis(cum.astype(jnp.uint32), sym, axis=1)
+    return sym.astype(jnp.uint32) | (f_tab << 6) | (bias << 18)
 
 
 def rans_decode(words, states, ctx_ids, freq, cum, n: int, lanes: int = DEFAULT_LANES):
@@ -153,20 +160,16 @@ def rans_decode(words, states, ctx_ids, freq, cum, n: int, lanes: int = DEFAULT_
     valid = (jnp.arange(T * lanes) < n).reshape(T, lanes)
 
     words_u32 = words.astype(jnp.uint32)
-    sym_tab, f_tab, bias_tab = build_decode_table(freq, cum)
-    # flatten to [C*M] so the per-step lookup is a single-axis gather
-    sym_flat = sym_tab.reshape(-1)
-    f_flat = f_tab.reshape(-1)
-    bias_flat = bias_tab.reshape(-1)
+    combo_flat = build_decode_table(freq, cum).reshape(-1)  # [C*M]
 
     def step(carry, inp):
         x, ptr = carry
         c_ids, v = inp
         slot = (x & jnp.uint32(RANS_M - 1)).astype(jnp.int32)
-        idx = c_ids * RANS_M + slot
-        s = sym_flat[idx]
-        f = f_flat[idx]
-        cm = bias_flat[idx]
+        combo = combo_flat[c_ids * RANS_M + slot]
+        s = (combo & jnp.uint32(0x3F)).astype(jnp.int32)
+        f = (combo >> 6) & jnp.uint32(0xFFF)
+        cm = combo >> 18
         x_dec = f * (x >> RANS_PRECISION) + slot.astype(jnp.uint32) - cm
         need = jnp.logical_and(v, x_dec < RANS_L)
         w = jnp.take_along_axis(words_u32, ptr[None, :], axis=0)[0]
@@ -176,14 +179,22 @@ def rans_decode(words, states, ctx_ids, freq, cum, n: int, lanes: int = DEFAULT_
         return (x_new, ptr_new), jnp.where(v, s, 0)
 
     init = (states.astype(jnp.uint32), jnp.zeros((lanes,), jnp.int32))
-    _, syms = jax.lax.scan(step, init, (ctx_all, valid))
+    _, syms = jax.lax.scan(step, init, (ctx_all, valid), unroll=8)
     return syms.reshape(-1)[:n].astype(jnp.int32)
 
 
 def serialize_streams(words: np.ndarray, lens: np.ndarray) -> bytes:
-    """Host-side ragged concatenation of per-lane streams (bitstream assembly)."""
+    """Host-side ragged concatenation of per-lane streams (bitstream
+    assembly — the native C++ core does it when available)."""
     words = np.asarray(words)
     lens = np.asarray(lens)
+    try:
+        from jxl_tpu import native
+
+        if native.available():
+            return native.serialize_streams_native(words, lens)
+    except Exception:
+        pass
     parts = [words[: lens[k], k] for k in range(words.shape[1])]
     if parts:
         flat = np.concatenate(parts).astype("<u2")
@@ -194,13 +205,13 @@ def serialize_streams(words: np.ndarray, lens: np.ndarray) -> bytes:
 
 def deserialize_streams(data: bytes, lens: np.ndarray, lanes: int) -> np.ndarray:
     """Rebuild the padded [Wmax, lanes] uint16 word matrix from the stream."""
-    lens = np.asarray(lens)
+    lens = np.asarray(lens).astype(np.int64)
     flat = np.frombuffer(data, dtype="<u2")
     wmax = max(1, int(lens.max()) if lens.size else 1)
     out = np.zeros((wmax, lanes), dtype=np.uint16)
-    off = 0
-    for k in range(lanes):
-        lk = int(lens[k])
-        out[:lk, k] = flat[off : off + lk]
-        off += lk
+    # vectorized ragged-to-padded: target flat index = row*lanes + lane
+    lane_of = np.repeat(np.arange(lanes), lens)
+    starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    row_of = np.arange(lens.sum()) - np.repeat(starts, lens)
+    out.reshape(-1)[row_of * lanes + lane_of] = flat[: lens.sum()]
     return out

@@ -329,12 +329,12 @@ def search_acs(
     if effort >= 7:
         acs, cost_sel, q32, m32 = try_merge(acs, cost_sel, 32, ACS_DCT32X32)
 
-    # Assemble the final quantized storage by per-block selection.
-    qstack = jnp.stack([qcands[s] for s in range(4)])  # [4, 3, nby, nbx, 8, 8]
-    sel = jnp.clip(acs, 0, 3)
-    qstorage = jnp.take_along_axis(
-        qstack, sel[None, None, :, :, None, None], axis=0
-    )[0]
+    # Assemble the final quantized storage by per-block masked select
+    # (wheres, not take_along_axis: gathers are slow on TPU).
+    sel = jnp.clip(acs, 0, 3)[None, :, :, None, None]
+    qstorage = qcands[0]
+    for s in range(1, 4):
+        qstorage = jnp.where(sel == s, qcands[s], qstorage)
 
     def scatter_merged(qstorage, qslots, merge, n):
         k = n // 8
@@ -351,10 +351,20 @@ def search_acs(
     if q32 is not None:
         qstorage = scatter_merged(qstorage, q32, m32, 32)
 
-    vidx = variant_index_map(acs)
-    eff_mul = effective_multiplier(qf_mul, acs)
-    qsteps = variants[vidx].transpose(2, 0, 1, 3, 4) * eff_mul[None, :, :, None, None]
+    qsteps = steps_field(variants, acs, effective_multiplier(qf_mul, acs))
     return acs, qstorage, qsteps
+
+
+def steps_field(variants: jnp.ndarray, acs: jnp.ndarray, eff_mul: jnp.ndarray) -> jnp.ndarray:
+    """[3, nby, nbx, 8, 8] per-block step field via a one-hot matmul (not a
+    gather — see transforms.dct.select_rows for why)."""
+    from jxl_tpu.transforms.dct import select_rows
+
+    nby, nbx = acs.shape
+    vidx = variant_index_map(acs)
+    sel = select_rows(vidx.reshape(-1), variants.reshape(variants.shape[0], -1))
+    field = sel.reshape(nby, nbx, 3, 8, 8).transpose(2, 0, 1, 3, 4)
+    return field * eff_mul[None, :, :, None, None]
 
 
 def effective_multiplier(qf_mul: jnp.ndarray, acs: jnp.ndarray) -> jnp.ndarray:

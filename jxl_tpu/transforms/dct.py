@@ -81,6 +81,50 @@ def zigzag_order(n: int, m: int) -> np.ndarray:
 
 
 @lru_cache(maxsize=None)
+def _perm_matrix_np(perm: tuple) -> np.ndarray:
+    n = len(perm)
+    p = np.zeros((n, n), np.float32)
+    p[np.arange(n), list(perm)] = 1.0
+    return p
+
+
+def permute_last(x: jnp.ndarray, perm: np.ndarray) -> jnp.ndarray:
+    """out[..., i] = x[..., perm[i]] via a one-hot matmul.
+
+    On TPU, a gather over a large array costs ~30 ns/element while a small
+    permutation matmul rides the MXU for free — fancy-indexing with a fixed
+    permutation (zigzag et al.) should never lower to a gather. Exact for
+    integer payloads < 2^24 (f32 one-hot dot at HIGHEST precision).
+    """
+    p = jnp.asarray(_perm_matrix_np(tuple(int(v) for v in perm)))
+    dtype = x.dtype
+    out = jnp.einsum(
+        "...j,ij->...i",
+        x.astype(jnp.float32),
+        p,
+        precision=_PREC,
+        preferred_element_type=jnp.float32,
+    )
+    if jnp.issubdtype(dtype, jnp.integer):
+        return jnp.round(out).astype(dtype)
+    return out.astype(dtype)
+
+
+def select_rows(idx: jnp.ndarray, table: jnp.ndarray) -> jnp.ndarray:
+    """out[k, :] = table[idx[k], :] via one-hot matmul (idx: [K] int, table:
+    [V, D]) — the MXU replacement for vocabulary-style gathers."""
+    v = table.shape[0]
+    onehot = (idx[:, None] == jnp.arange(v)[None, :]).astype(jnp.float32)
+    return jnp.einsum(
+        "kv,vd->kd",
+        onehot,
+        table.astype(jnp.float32),
+        precision=_PREC,
+        preferred_element_type=jnp.float32,
+    )
+
+
+@lru_cache(maxsize=None)
 def inverse_zigzag_order(n: int, m: int) -> np.ndarray:
     """Permutation inverse of zigzag_order: position of each flat index."""
     zz = zigzag_order(n, m)

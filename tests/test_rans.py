@@ -130,6 +130,22 @@ def test_zigzag_map_roundtrip():
     np.testing.assert_array_equal(np.asarray(zigzag_unmap(u)), np.asarray(v))
 
 
+def test_pack_unpack_bytes():
+    from jxl_tpu.entropy.tokens import byte_capacity, pack_bytes, unpack_bytes
+
+    rng = np.random.default_rng(21)
+    n = 5000
+    vals = rng.integers(0, 1 << 24, n).astype(np.uint32)
+    tok, nbits, mant = tokenize(jnp.asarray(vals))
+    arr, total = pack_bytes(nbits, mant, byte_capacity(n))
+    nbytes = np.asarray((np.asarray(nbits) + 7) // 8)
+    assert int(total) == int(nbytes.sum())
+    mant2 = unpack_bytes(nbits, arr)
+    np.testing.assert_array_equal(np.asarray(mant2), np.asarray(mant))
+    back = detokenize(tok, mant2)
+    np.testing.assert_array_equal(np.asarray(back), vals)
+
+
 def test_pack_unpack_bits():
     rng = np.random.default_rng(11)
     n = 5000
