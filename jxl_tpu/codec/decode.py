@@ -141,8 +141,9 @@ def _decode_core(
     values = detokenize(tokens, mant)
     signed = zigzag_unmap(values)
 
-    n_acs, n_qf, n_dc = lay["n_acs"], lay["n_qf"], lay["n_dc"]
+    n_acs, n_qf, n_cfl, n_dc = lay["n_acs"], lay["n_qf"], lay["n_cfl"], lay["n_dc"]
     nb, nby, nbx = lay["nb"], lay["nby"], lay["nbx"]
+    ty, tx = lay["ty"], lay["tx"]
 
     acs = jnp.clip(values[:n_acs].astype(jnp.int32), 0, N_STRATEGIES - 1).reshape(
         nby, nbx
@@ -152,10 +153,13 @@ def _decode_core(
     ).reshape(nby, nbx)
     qf_mul = qf_multiplier(qf_idx)
 
-    dc_res = signed[n_acs + n_qf : n_acs + n_qf + n_dc].reshape(3, nby, nbx)
+    cfl = signed[n_acs + n_qf : n_acs + n_qf + n_cfl].reshape(2, ty, tx)
+
+    dc_start = n_acs + n_qf + n_cfl
+    dc_res = signed[dc_start : dc_start + n_dc].reshape(3, nby, nbx)
     dcq = jnp.cumsum(jnp.cumsum(dc_res, axis=1), axis=2)  # inverse gradient predictor
 
-    ac = signed[n_acs + n_qf + n_dc :].reshape(3, nb, 63)
+    ac = signed[dc_start + n_dc :].reshape(3, nb, 63)
     # Rebuild the 64-coefficient block: DC slot 0, then inverse zigzag
     # (as a permutation matmul — see transforms.dct.permute_last).
     acq_zz = jnp.concatenate([jnp.zeros((3, nb, 1), jnp.int32), ac], axis=-1)
@@ -168,6 +172,18 @@ def _decode_core(
     eff_mul = effective_multiplier(qf_mul, acs)
     qsteps = steps_field(variants, acs, eff_mul)
     storage = acq.astype(jnp.float32) * qsteps
+
+    # Chroma-from-luma: add back the signaled per-tile luma prediction.
+    yd = storage[1]
+    kq = jnp.clip(cfl.astype(jnp.float32), -32, 32) / 32.0
+    kb = jnp.repeat(jnp.repeat(kq, 4, axis=1), 4, axis=2)[:, :nby, :nbx]
+    storage = jnp.stack(
+        [
+            storage[0] + kb[0][:, :, None, None] * yd,
+            yd,
+            storage[2] + kb[1][:, :, None, None] * yd,
+        ]
+    )
 
     blocks = _reconstruct_sub8(storage, dc, acs)
     planes = blocks.transpose(0, 1, 3, 2, 4).reshape(3, nby * 8, nbx * 8)

@@ -30,7 +30,11 @@ from jxl_tpu.codec.config import CodecConfig
 from jxl_tpu.codec.container import JxtHeader, JxtStream, write_container
 from jxl_tpu.codec.layout import N_CTX, token_layout
 from jxl_tpu.core.xyb import srgb_to_xyb
-from jxl_tpu.entropy.rans import quantize_histograms, rans_encode, serialize_streams
+from jxl_tpu.entropy.rans import (
+    quantize_histograms_t,
+    rans_encode,
+    serialize_streams,
+)
 from jxl_tpu.entropy.tokens import (
     ALPHABET,
     byte_capacity,
@@ -100,7 +104,7 @@ def tokens_from_rgb(
     qf_idx = quant_field(planes_p[1])  # [nby, nbx] int32
     qf_mul = qf_multiplier(qf_idx)
 
-    acs, qstorage, _qsteps = search_acs(
+    acs, raw, qsteps = search_acs(
         blocks,
         planes_p,
         distance,
@@ -109,6 +113,35 @@ def tokens_from_rgb(
         hook_b=hook_b,
         qf_mul=qf_mul,
     )
+
+    # Chroma-from-luma: per-32x32-tile least-squares factors of the X and
+    # B-residual coefficients against the *dequantized* luma coefficients
+    # (so encoder and decoder see identical predictors), signaled as
+    # 1/32-step indices. The (0,0) slots are zero in every strategy, so DC
+    # never leaks through the predictor.
+    qy = jnp.round(raw[1] / qsteps[1]).astype(jnp.int32)
+    yd = qy.astype(jnp.float32) * qsteps[1]
+    ty, tx = lay["ty"], lay["tx"]
+    nby, nbx = lay["nby"], lay["nbx"]
+
+    def tile_sum(x):
+        xp = jnp.pad(x, ((0, ty * 4 - nby), (0, tx * 4 - nbx), (0, 0), (0, 0)))
+        return xp.reshape(ty, 4, tx, 4, 8, 8).sum(axis=(1, 3, 4, 5))
+
+    den = tile_sum(yd * yd) + 1e-9
+    cfl_idx = []
+    resids = {}
+    for c in (0, 2):
+        k = jnp.clip(tile_sum(raw[c] * yd) / den, -1.0, 1.0)
+        idx = jnp.round(k * 32.0).astype(jnp.int32)
+        kq = idx.astype(jnp.float32) / 32.0
+        kb = jnp.repeat(jnp.repeat(kq, 4, axis=0), 4, axis=1)[:nby, :nbx]
+        resids[c] = raw[c] - kb[:, :, None, None] * yd
+        cfl_idx.append(idx.reshape(-1))
+
+    qx = jnp.round(resids[0] / qsteps[0]).astype(jnp.int32)
+    qb = jnp.round(resids[2] / qsteps[2]).astype(jnp.int32)
+    qstorage = jnp.stack([qx, qy, qb])
 
     # DC plane: exact 8x8 block means * 8 for every strategy.
     dc_step = dc_steps_t(distance)
@@ -122,6 +155,7 @@ def tokens_from_rgb(
         [
             acs.reshape(-1).astype(jnp.uint32),  # small non-negative ids
             qf_idx.reshape(-1).astype(jnp.uint32),
+            zigzag_map(jnp.concatenate(cfl_idx)),
             zigzag_map(dc_res.reshape(-1)),
             zigzag_map(ac_zz.reshape(-1)),
         ]
@@ -141,6 +175,40 @@ _encode_stage1 = partial(
     jax.jit,
     static_argnames=("height", "width", "effort", "hook_a", "hook_b"),
 )(tokens_from_rgb)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("height", "width", "effort", "hook_a", "hook_b", "lanes", "cap_bytes"),
+)
+def _encode_full(
+    rgb,
+    distance,
+    *,
+    height: int,
+    width: int,
+    effort: int,
+    hook_a: bool,
+    hook_b: bool,
+    lanes: int,
+    cap_bytes: int,
+):
+    """The whole encoder as one compiled program: pixels -> streams.
+
+    Histogram quantization runs on device (quantize_histograms_t), so the
+    only host work left is trimming transfers and assembling the container —
+    one dispatch, two batched device_gets, instead of two dispatches with a
+    counts round-trip in between (each tunnel sync costs ~tens of ms).
+    """
+    lay = token_layout(height, width)
+    token, nbits, mant, counts = tokens_from_rgb(
+        rgb, distance, height=height, width=width, effort=effort, hook_a=hook_a, hook_b=hook_b
+    )
+    freq, cum = quantize_histograms_t(counts)
+    ctx = jnp.asarray(lay["ctx"])
+    words, lens, states = rans_encode(token, ctx, freq, cum, lanes=lanes)
+    mant_arr, total_bytes = pack_bytes(nbits, mant, cap_bytes)
+    return words, lens, states, mant_arr, total_bytes, freq
 
 
 @partial(jax.jit, static_argnames=("height", "width", "lanes", "cap_bytes"))
@@ -174,7 +242,10 @@ def encode_image(rgb: np.ndarray, config: CodecConfig, orig_name: str = "") -> b
         config = replace(config, distance=0.05)
     lay = token_layout(h, w)
 
-    token, nbits, mant, counts = _encode_stage1(
+    cap = byte_capacity(lay["n_tokens"])
+    lanes = pick_lanes(lay["n_tokens"], config.lanes)
+
+    words, lens, states, mant_arr, total_bytes, freq = _encode_full(
         jnp.asarray(rgb),
         jnp.float32(config.distance),
         height=h,
@@ -182,31 +253,20 @@ def encode_image(rgb: np.ndarray, config: CodecConfig, orig_name: str = "") -> b
         effort=int(config.effort),
         hook_a=config.strategy.hook_a,
         hook_b=config.strategy.hook_b,
-    )
-
-    freq_np, cum_np = quantize_histograms(np.asarray(counts))
-    cap = byte_capacity(lay["n_tokens"])
-    lanes = pick_lanes(lay["n_tokens"], config.lanes)
-
-    words, lens, states, mant_arr, total_bytes = _encode_stage2(
-        token,
-        nbits,
-        mant,
-        jnp.asarray(freq_np),
-        jnp.asarray(cum_np),
-        height=h,
-        width=w,
         lanes=lanes,
         cap_bytes=cap,
     )
 
-    # Trim device->host transfers to the used prefixes (the capacity
-    # allocations are worst-case; actual payloads are far smaller).
+    # Two batched device_gets: sizes first, then the trimmed payloads (the
+    # capacity allocations are worst-case; actual payloads are far smaller).
+    lens_np, states_np, total_bytes, freq_np = jax.device_get(
+        (lens, states, total_bytes, freq)
+    )
+    lens_np = lens_np.astype(np.uint32)
     total_bytes = int(total_bytes)
-    lens_np = np.asarray(lens).astype(np.uint32)
     wmax = max(1, int(lens_np.max()))
-    words_np = np.asarray(words[:wmax])
-    mant_np = np.asarray(mant_arr[: max(1, total_bytes)]).astype(np.uint8)
+    words_np, mant_u32 = jax.device_get((words[:wmax], mant_arr[: max(1, total_bytes)]))
+    mant_np = mant_u32.astype(np.uint8)
     header = JxtHeader(
         height=h,
         width=w,
@@ -222,9 +282,9 @@ def encode_image(rgb: np.ndarray, config: CodecConfig, orig_name: str = "") -> b
     )
     stream = JxtStream(
         header=header,
-        freq=freq_np,
+        freq=freq_np.astype(np.uint32),
         lens=lens_np,
-        states=np.asarray(states).astype(np.uint32),
+        states=states_np.astype(np.uint32),
         stream_words=serialize_streams(words_np, lens_np),
         mant_bytes=mant_np.tobytes(),
     )

@@ -9,8 +9,9 @@ context chains), which is what lets the rANS scan stay fully vectorized.
 Token stream order (flat index -> meaning):
   [0, nb)            AC-strategy map tokens ([nby, nbx], ids 0..5)
   [nb, 2*nb)         quant-field multiplier indices ([nby, nbx], 0..15)
-  [2*nb, 2*nb+3*nb)  DC residual tokens, channel-major ([3, nby, nbx])
-  [2*nb + 3*nb, ...) AC tokens, [3, nb, 63] in zigzag order (DC excluded)
+  [.., +2*ntiles)    chroma-from-luma factors, zigzag-mapped ([2, ty, tx])
+  [.., +3*nb)        DC residual tokens, channel-major ([3, nby, nbx])
+  [.., end)          AC tokens, [3, nb, 63] in zigzag order (DC excluded)
 """
 
 from __future__ import annotations
@@ -21,9 +22,11 @@ import numpy as np
 
 from jxl_tpu.transforms.dct import zigzag_order
 
-N_CTX = 14  # 1 ACS-map + 1 quant-field + 3 DC + 3 channels x 3 AC bands
+N_CTX = 15  # ACS-map + quant-field + CfL + 3 DC + 3 channels x 3 AC bands
 CTX_ACS = 12
 CTX_QF = 13
+CTX_CFL = 14
+CFL_TILE = 4  # chroma-from-luma tile size in 8x8 blocks (32x32 pixels)
 # AC band split by zigzag position (1-indexed after DC): 1-3, 4-15, 16-63.
 _BAND_EDGES = (4, 16)
 
@@ -47,19 +50,22 @@ def token_layout(height: int, width: int):
     nb = nby * nbx
     n_acs = nb
     n_qf = nb
+    ty, tx = -(-nby // CFL_TILE), -(-nbx // CFL_TILE)
+    n_cfl = 2 * ty * tx
     n_dc = 3 * nb
     n_ac = 3 * nb * 63
-    n_tokens = n_acs + n_qf + n_dc + n_ac
+    n_tokens = n_acs + n_qf + n_cfl + n_dc + n_ac
 
     acs_ctx = np.full(n_acs, CTX_ACS, dtype=np.int32)
     qf_ctx = np.full(n_qf, CTX_QF, dtype=np.int32)
+    cfl_ctx = np.full(n_cfl, CTX_CFL, dtype=np.int32)
     dc_ctx = np.repeat(np.arange(3, dtype=np.int32), nb)
     band = ac_band_table()  # [63]
     ac_ctx = (
         3 + np.arange(3, dtype=np.int32)[:, None, None] * 3 + band[None, None, :]
     )  # [3, 1, 63]
     ac_ctx = np.broadcast_to(ac_ctx, (3, nb, 63)).reshape(-1).astype(np.int32)
-    ctx = np.concatenate([acs_ctx, qf_ctx, dc_ctx, ac_ctx])
+    ctx = np.concatenate([acs_ctx, qf_ctx, cfl_ctx, dc_ctx, ac_ctx])
     zz = zigzag_order(8, 8)  # [64] flat indices, zz[0] == 0 (DC)
 
     return {
@@ -70,6 +76,9 @@ def token_layout(height: int, width: int):
         "nb": nb,
         "n_acs": n_acs,
         "n_qf": n_qf,
+        "n_cfl": n_cfl,
+        "ty": ty,
+        "tx": tx,
         "n_dc": n_dc,
         "n_ac": n_ac,
         "n_tokens": n_tokens,

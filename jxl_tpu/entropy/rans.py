@@ -66,6 +66,44 @@ def quantize_histograms(counts: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return freq.astype(np.uint32), cum.astype(np.uint32)
 
 
+def quantize_histograms_t(counts: jnp.ndarray):
+    """On-device histogram quantization (traced twin of quantize_histograms).
+
+    Lets the whole encoder run as ONE jit call — no host round-trip between
+    token statistics and rANS coding (each sync over the TPU tunnel costs
+    ~tens of ms). The quantized tables are what get stored in the header, so
+    the two implementations don't need to produce identical tables — only
+    valid ones (sum 2^12, max < 2^12, nonzero counts kept >= 1).
+    counts: [C, A] int32 -> (freq, cum) uint32.
+    """
+    c = counts.astype(jnp.int32)
+    a = c.shape[1]
+    total = jnp.sum(c, axis=1, keepdims=True)
+    # unused contexts: put all mass on symbol 0
+    c = c.at[:, 0].add(jnp.where(total[:, 0] == 0, 1, 0))
+    total = jnp.maximum(total, 1)
+    # f32 ratio avoids c*M overflowing int32 on multi-megapixel images
+    # (counts can exceed 2^19); table exactness doesn't matter, validity does.
+    f = jnp.floor((c.astype(jnp.float32) / total.astype(jnp.float32)) * RANS_M).astype(
+        jnp.int32
+    )
+    f = jnp.where((c > 0) & (f == 0), 1, f)
+    diff = RANS_M - jnp.sum(f, axis=1)  # >= -(A-1), argmax bucket absorbs it
+    am = jnp.argmax(f, axis=1)
+    onehot_am = am[:, None] == jnp.arange(a)[None, :]
+    f = f + jnp.where(onehot_am, diff[:, None], 0)
+    # cap single-symbol contexts at M-1 (encoder overflow guard)
+    over = (jnp.max(f, axis=1) >= RANS_M)[:, None]
+    onehot_next = ((am + 1) % a)[:, None] == jnp.arange(a)[None, :]
+    f = f - jnp.where(onehot_am & over, 1, 0) + jnp.where(onehot_next & over, 1, 0)
+    f = f.astype(jnp.uint32)
+    cum = jnp.concatenate(
+        [jnp.zeros((f.shape[0], 1), jnp.uint32), jnp.cumsum(f, axis=1)[:, :-1]],
+        axis=1,
+    )
+    return f, cum
+
+
 def _lane_layout(n: int, lanes: int) -> int:
     """Number of scan steps for n symbols over `lanes` streams."""
     return max(1, -(-n // lanes))

@@ -321,38 +321,40 @@ def search_acs(
         acs = jnp.where(merge_full, sid, acs)
         new_cost = jnp.repeat(jnp.repeat(cost_m / (k * k), k, axis=0), k, axis=1)
         cost_sel = jnp.where(merge_full, jnp.pad(new_cost, ((0, pad_y), (0, pad_x))), cost_sel)
-        return acs, cost_sel, qslots, merge
+        return acs, cost_sel, slots, merge
 
-    q16 = m16 = q32 = m32 = None
+    r16 = m16 = r32 = m32 = None
     if effort >= 6:
-        acs, cost_sel, q16, m16 = try_merge(acs, cost_sel, 16, ACS_DCT16X16)
+        acs, cost_sel, r16, m16 = try_merge(acs, cost_sel, 16, ACS_DCT16X16)
     if effort >= 7:
-        acs, cost_sel, q32, m32 = try_merge(acs, cost_sel, 32, ACS_DCT32X32)
+        acs, cost_sel, r32, m32 = try_merge(acs, cost_sel, 32, ACS_DCT32X32)
 
-    # Assemble the final quantized storage by per-block masked select
-    # (wheres, not take_along_axis: gathers are slow on TPU).
+    # Assemble the selected RAW coefficient storage by per-block masked
+    # select (wheres, not take_along_axis: gathers are slow on TPU). The
+    # caller quantizes — identically to the candidate costs' quantization —
+    # after optionally applying chroma-from-luma on the raw values.
     sel = jnp.clip(acs, 0, 3)[None, :, :, None, None]
-    qstorage = qcands[0]
+    raw = sub8[0]
     for s in range(1, 4):
-        qstorage = jnp.where(sel == s, qcands[s], qstorage)
+        raw = jnp.where(sel == s, sub8[s], raw)
 
-    def scatter_merged(qstorage, qslots, merge, n):
+    def scatter_merged(storage, slots, merge, n):
         k = n // 8
         gby, gbx = merge.shape
         mb = jnp.repeat(jnp.repeat(merge, k, axis=0), k, axis=1)
         mb = jnp.pad(mb, ((0, nby - gby * k), (0, nbx - gbx * k)))
-        # qslots [3, gby, gbx, k, k, 8, 8] -> block grid [3, gby*k, gbx*k, 8, 8]
-        qs = qslots.transpose(0, 1, 3, 2, 4, 5, 6).reshape(3, gby * k, gbx * k, 8, 8)
+        # slots [3, gby, gbx, k, k, 8, 8] -> block grid [3, gby*k, gbx*k, 8, 8]
+        qs = slots.transpose(0, 1, 3, 2, 4, 5, 6).reshape(3, gby * k, gbx * k, 8, 8)
         qs = jnp.pad(qs, ((0, 0), (0, nby - gby * k), (0, nbx - gbx * k), (0, 0), (0, 0)))
-        return jnp.where(mb[None, :, :, None, None], qs, qstorage)
+        return jnp.where(mb[None, :, :, None, None], qs, storage)
 
-    if q16 is not None:
-        qstorage = scatter_merged(qstorage, q16, jnp.logical_and(m16, (acs[::2, ::2] == ACS_DCT16X16)[: m16.shape[0], : m16.shape[1]]), 16)
-    if q32 is not None:
-        qstorage = scatter_merged(qstorage, q32, m32, 32)
+    if r16 is not None:
+        raw = scatter_merged(raw, r16, jnp.logical_and(m16, (acs[::2, ::2] == ACS_DCT16X16)[: m16.shape[0], : m16.shape[1]]), 16)
+    if r32 is not None:
+        raw = scatter_merged(raw, r32, m32, 32)
 
     qsteps = steps_field(variants, acs, effective_multiplier(qf_mul, acs))
-    return acs, qstorage, qsteps
+    return acs, raw, qsteps
 
 
 def steps_field(variants: jnp.ndarray, acs: jnp.ndarray, eff_mul: jnp.ndarray) -> jnp.ndarray:
