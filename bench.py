@@ -58,7 +58,14 @@ def main():
     from jxl_tpu.codec.encode import encode_image
     from jxl_tpu.metrics import calculate_psnr
 
-    img = load_bench_image()
+    # JXL_BENCH_SIZE=HxW overrides the Kodak-sized default (e.g. 2048x2048
+    # to measure the throughput scaling with image size).
+    size = os.environ.get("JXL_BENCH_SIZE")
+    if size:
+        h_, w_ = (int(v) for v in size.split("x"))
+        img = synth_kodak(h_, w_)
+    else:
+        img = load_bench_image()
     h, w = img.shape[:2]
     mp = h * w / 1e6
     cfg = CodecConfig(distance=1.0, effort=7)
