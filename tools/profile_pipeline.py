@@ -1,3 +1,4 @@
+"""Per-stage TPU profiling of the codec pipeline (run from the repo root)."""
 import time, numpy as np, jax, jax.numpy as jnp
 import jxl_tpu
 from bench import synth_kodak
