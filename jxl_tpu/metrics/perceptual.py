@@ -28,7 +28,11 @@ from jxl_tpu.core.xyb import srgb_to_xyb
 # Perceptual channel weights for XYB differences (X errors are ~30x more
 # visible per unit than Y; B the least).
 _XYB_WEIGHTS = jnp.array([60.0, 8.0, 3.0], dtype=jnp.float32)
-_SCALE_WEIGHTS = (0.5, 0.33, 0.17)
+_SCALE_WEIGHTS = (0.55, 0.30, 0.15)
+_SIGMAS = (0.5, 1.2, 3.0)
+# Unit gain calibrated on the round-1 sweep so a d=1 encode scores ~1.0
+# butteraugli-style distance units.
+_GAIN = 18.0
 
 
 def _blur(img, sigma: float):
@@ -67,11 +71,11 @@ def _butteraugli_maps(orig_u8, comp_u8):
     masking = 1.0 + 12.0 * jnp.sum(act * _XYB_WEIGHTS, axis=-1, keepdims=True)
 
     dist = jnp.zeros(a.shape[:2], jnp.float32)
-    for sigma, w in zip((0.8, 2.0, 5.0), _SCALE_WEIGHTS):
+    for sigma, w in zip(_SIGMAS, _SCALE_WEIGHTS):
         da = _blur(a, sigma) - _blur(b, sigma)
         d = jnp.sqrt(jnp.sum((da * _XYB_WEIGHTS) ** 2, axis=-1, keepdims=True))
         dist = dist + w * (d / masking)[..., 0]
-    return dist
+    return _GAIN * dist
 
 
 def calculate_butteraugli(orig: np.ndarray, comp: np.ndarray) -> tuple[float, float]:
@@ -112,4 +116,7 @@ def calculate_ssimulacra2(orig: np.ndarray, comp: np.ndarray) -> float:
             break
         a = _downsample2x(a)
         b = _downsample2x(b)
-    return 100.0 - 2500.0 * total
+    # Sub-linear response calibrated on the round-1 sweep so scores span
+    # realistic SSIMULACRA2-like ranges (d=0.5 ~ 86, d=1 ~ 75, d=3 ~ 55,
+    # d=14 ~ 20 on photographic content).
+    return 100.0 - 348.0 * max(total, 0.0) ** 0.65

@@ -26,9 +26,13 @@ def configure_jax() -> None:
     if os.environ.get("JXL_TPU_NO_CACHE"):
         return
 
+    # Partition the cache by platform override: XLA:CPU AOT artifacts carry
+    # host-feature assumptions and warn loudly when loaded cross-config.
     cache_dir = os.environ.get(
         "JXL_TPU_CACHE_DIR",
-        os.path.join(os.path.expanduser("~"), ".cache", "jxl_tpu_jax"),
+        os.path.join(
+            os.path.expanduser("~"), ".cache", "jxl_tpu_jax", platform or "default"
+        ),
     )
     try:
         os.makedirs(cache_dir, exist_ok=True)
