@@ -19,7 +19,6 @@ Layout (all little-endian):
   u8      n_ctx
   u8      alphabet (A)
   per-ctx frequency tables     (raw u16 row or sparse, see _pack_freq_tables)
-  u8      len_width (2|4); u16/u32[K] per-lane word counts
   u32[K]  per-lane final rANS states
   u32     n_stream_words; u16[n_stream_words] rANS words (ragged lanes concat)
   u32     n_mant_bytes; u8[n_mant_bytes] mantissa bytes (LE per value)
@@ -34,7 +33,7 @@ from dataclasses import dataclass
 import numpy as np
 
 MAGIC = b"JXT1"
-VERSION = 3  # v3: byte-aligned mantissa stream (TOKEN_SPLIT=32)
+VERSION = 4  # v4: consumption-order rANS stream (no per-lane lens)
 
 
 def _pack_freq_tables(freq: np.ndarray) -> bytes:
@@ -108,9 +107,8 @@ class JxtHeader:
 class JxtStream:
     header: JxtHeader
     freq: np.ndarray  # [n_ctx, A] uint32
-    lens: np.ndarray  # [K] uint32
     states: np.ndarray  # [K] uint32
-    stream_words: bytes  # ragged per-lane concat, u16 LE
+    stream_words: bytes  # consumption-order words, u16 LE
     mant_bytes: bytes  # byte-aligned mantissas, little-endian per value
     acs_extra: bytes = b""
 
@@ -134,11 +132,6 @@ def write_container(s: JxtStream) -> bytes:
         name_b,
         struct.pack("<HIBB", h.lanes, h.n_tokens, h.n_ctx, h.alphabet),
         _pack_freq_tables(s.freq),
-        (
-            struct.pack("<B", 2) + s.lens.astype("<u2").tobytes()
-            if s.lens.size == 0 or int(s.lens.max()) < (1 << 16)
-            else struct.pack("<B", 4) + s.lens.astype("<u4").tobytes()
-        ),
         s.states.astype("<u4").tobytes(),
         struct.pack("<I", len(s.stream_words) // 2),
         s.stream_words,
@@ -163,14 +156,6 @@ def read_container(data: bytes) -> JxtStream:
     lanes, n_tokens, n_ctx, alphabet = struct.unpack_from("<HIBB", data, off)
     off += struct.calcsize("<HIBB")
     freq, off = _unpack_freq_tables(data, off, n_ctx, alphabet)
-    len_width = data[off]
-    off += 1
-    if len_width == 2:
-        lens = np.frombuffer(data, dtype="<u2", count=lanes, offset=off).astype(np.uint32)
-        off += lanes * 2
-    else:
-        lens = np.frombuffer(data, dtype="<u4", count=lanes, offset=off).astype(np.uint32)
-        off += lanes * 4
     states = np.frombuffer(data, dtype="<u4", count=lanes, offset=off).astype(np.uint32)
     off += lanes * 4
     (n_stream_words,) = struct.unpack_from("<I", data, off)
@@ -200,7 +185,6 @@ def read_container(data: bytes) -> JxtStream:
     return JxtStream(
         header=header,
         freq=freq,
-        lens=lens,
         states=states,
         stream_words=stream_words,
         mant_bytes=mant_bytes,

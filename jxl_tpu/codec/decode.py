@@ -205,9 +205,7 @@ def decode_stream(stream: JxtStream) -> np.ndarray:
     lay = token_layout(h.height, h.width)
     T = max(1, -(-lay["n_tokens"] // h.lanes))
 
-    words_np = deserialize_streams(stream.stream_words, stream.lens, h.lanes)
-    if words_np.shape[0] < T:  # pad to the static scan length
-        words_np = np.pad(words_np, ((0, T - words_np.shape[0]), (0, 0)))
+    words_np = deserialize_streams(stream.stream_words, T * h.lanes)
 
     # Mantissa bytes land in a power-of-two-bucketed uint32 array so decode
     # shapes (and compilations) don't vary per image content.

@@ -245,7 +245,7 @@ def encode_image(rgb: np.ndarray, config: CodecConfig, orig_name: str = "") -> b
     cap = byte_capacity(lay["n_tokens"])
     lanes = pick_lanes(lay["n_tokens"], config.lanes)
 
-    words, lens, states, mant_arr, total_bytes, freq = _encode_full(
+    words, n_words, states, mant_arr, total_bytes, freq = _encode_full(
         jnp.asarray(rgb),
         jnp.float32(config.distance),
         height=h,
@@ -259,13 +259,14 @@ def encode_image(rgb: np.ndarray, config: CodecConfig, orig_name: str = "") -> b
 
     # Two batched device_gets: sizes first, then the trimmed payloads (the
     # capacity allocations are worst-case; actual payloads are far smaller).
-    lens_np, states_np, total_bytes, freq_np = jax.device_get(
-        (lens, states, total_bytes, freq)
+    n_words, states_np, total_bytes, freq_np = jax.device_get(
+        (n_words, states, total_bytes, freq)
     )
-    lens_np = lens_np.astype(np.uint32)
+    n_words = int(n_words)
     total_bytes = int(total_bytes)
-    wmax = max(1, int(lens_np.max()))
-    words_np, mant_u32 = jax.device_get((words[:wmax], mant_arr[: max(1, total_bytes)]))
+    words_np, mant_u32 = jax.device_get(
+        (words[: max(1, n_words)], mant_arr[: max(1, total_bytes)])
+    )
     mant_np = mant_u32.astype(np.uint8)
     header = JxtHeader(
         height=h,
@@ -283,9 +284,8 @@ def encode_image(rgb: np.ndarray, config: CodecConfig, orig_name: str = "") -> b
     stream = JxtStream(
         header=header,
         freq=freq_np.astype(np.uint32),
-        lens=lens_np,
         states=states_np.astype(np.uint32),
-        stream_words=serialize_streams(words_np, lens_np),
+        stream_words=serialize_streams(words_np, n_words),
         mant_bytes=mant_np.tobytes(),
     )
     return write_container(stream)

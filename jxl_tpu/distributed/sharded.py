@@ -46,10 +46,10 @@ def _single_image_step(rgb, freq, cum, *, height, width, distance, lanes):
     )
     lay = token_layout(height, width)
     ctx = jnp.asarray(lay["ctx"])
-    words, lens, states = rans_encode(token, ctx, freq, cum, lanes=lanes)
+    _words, n_words, _states = rans_encode(token, ctx, freq, cum, lanes=lanes)
     _mant_arr, total_mant = pack_bytes(nbits, mant, byte_capacity(lay["n_tokens"]))
     # compressed payload bytes: rANS words + mantissa bytes (headers excluded)
-    nbytes = 2 * jnp.sum(lens) + total_mant
+    nbytes = 2 * n_words + total_mant
     return nbytes, counts
 
 

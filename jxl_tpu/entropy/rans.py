@@ -15,8 +15,12 @@ precision. Single-conditional renorm is exact for these parameters
 
 Encode walks symbols in reverse (scan with reverse=True); the word emitted
 while encoding symbol i is exactly the word the decoder consumes when
-decoding symbol i, so per-lane streams are stored in ascending-i order and
-decoding is a forward scan with per-lane read pointers.
+decoding symbol i. Words are stored in GLOBAL CONSUMPTION ORDER (row-major
+over (step, lane) where a renorm fires): the decoder then reads a
+contiguous window per step — a dynamic_slice plus a tiny lane-local rank
+gather — instead of a per-lane pointer gather over the whole stream, and no
+per-lane length table is needed in the container (only the lane count and
+final states).
 """
 
 from __future__ import annotations
@@ -113,8 +117,8 @@ def rans_encode(tokens, ctx_ids, freq, cum, lanes: int = DEFAULT_LANES):
     """Encode tokens[N] (int32, < alphabet) with contexts ctx_ids[N].
 
     freq/cum: [C, A] uint32 quantized tables (from quantize_histograms).
-    Returns (words [T, lanes] uint16 compacted per-lane ascending,
-             lens [lanes] int32 word counts,
+    Returns (words_flat [T * lanes] uint16 in consumption order,
+             n_words int32 scalar,
              states [lanes] uint32 final states).
     jit-compatible for fixed N.
     """
@@ -151,16 +155,19 @@ def rans_encode(tokens, ctx_ids, freq, cum, lanes: int = DEFAULT_LANES):
         step, init, (f_all, c_all, valid), reverse=True, unroll=8
     )
 
-    # Compact emissions per lane in ascending-step order.
-    wcount = jnp.cumsum(emits.astype(jnp.int32), axis=0)
-    lens = wcount[-1]
-    pos = wcount - 1
-    lane_idx = jnp.broadcast_to(jnp.arange(lanes), (T, lanes))
-    flat_target = jnp.where(emits, pos * lanes + lane_idx, T * lanes)
+    # Compact emissions into global consumption order: target position =
+    # (words consumed before this row) + (rank of this lane among the row's
+    # emitters). Both are cumsums; the scatter indices are unique.
+    e32 = emits.astype(jnp.int32)
+    rank_in_row = jnp.cumsum(e32, axis=1) - e32  # exclusive, per row
+    row_counts = jnp.sum(e32, axis=1)  # [T]
+    row_offsets = jnp.cumsum(row_counts) - row_counts  # exclusive, per row
+    n_words = row_offsets[-1] + row_counts[-1]
+    flat_target = jnp.where(emits, row_offsets[:, None] + rank_in_row, T * lanes)
     out = jnp.zeros((T * lanes,), jnp.uint32).at[flat_target.reshape(-1)].set(
-        words.reshape(-1), mode="drop"
+        words.reshape(-1), mode="drop", unique_indices=True
     )
-    return out.reshape(T, lanes).astype(jnp.uint16), lens, states
+    return out.astype(jnp.uint16), n_words.astype(jnp.int32), states
 
 
 def build_decode_table(freq, cum):
@@ -185,11 +192,14 @@ def build_decode_table(freq, cum):
     return sym.astype(jnp.uint32) | (f_tab << 6) | (bias << 18)
 
 
-def rans_decode(words, states, ctx_ids, freq, cum, n: int, lanes: int = DEFAULT_LANES):
-    """Decode n tokens. words: [Wmax, lanes] uint16 (per-lane ascending),
-    states: [lanes] uint32 (final encoder states), ctx_ids: [N] int32.
+def rans_decode(words_flat, states, ctx_ids, freq, cum, n: int, lanes: int = DEFAULT_LANES):
+    """Decode n tokens. words_flat: [>= T*lanes + lanes] uint16/uint32 in
+    consumption order, states: [lanes] uint32 (final encoder states),
+    ctx_ids: [N] int32. Returns tokens [n] int32.
 
-    Returns tokens [n] int32. jit-compatible for fixed n/Wmax.
+    Per step the lanes that renormalize read the next `popcount(need)` words
+    of the stream in lane order: a contiguous dynamic_slice window plus a
+    lane-local rank gather — no stream-wide pointer gather.
     """
     T = _lane_layout(n, lanes)
     pad = T * lanes - n
@@ -197,11 +207,13 @@ def rans_decode(words, states, ctx_ids, freq, cum, n: int, lanes: int = DEFAULT_
     ctx_all = ctx.reshape(T, lanes)
     valid = (jnp.arange(T * lanes) < n).reshape(T, lanes)
 
-    words_u32 = words.astype(jnp.uint32)
+    words_u32 = jnp.concatenate(
+        [words_flat.astype(jnp.uint32), jnp.zeros((lanes,), jnp.uint32)]
+    )
     combo_flat = build_decode_table(freq, cum).reshape(-1)  # [C*M]
 
     def step(carry, inp):
-        x, ptr = carry
+        x, gptr = carry
         c_ids, v = inp
         slot = (x & jnp.uint32(RANS_M - 1)).astype(jnp.int32)
         combo = combo_flat[c_ids * RANS_M + slot]
@@ -210,46 +222,28 @@ def rans_decode(words, states, ctx_ids, freq, cum, n: int, lanes: int = DEFAULT_
         cm = combo >> 18
         x_dec = f * (x >> RANS_PRECISION) + slot.astype(jnp.uint32) - cm
         need = jnp.logical_and(v, x_dec < RANS_L)
-        w = jnp.take_along_axis(words_u32, ptr[None, :], axis=0)[0]
+        need32 = need.astype(jnp.int32)
+        rank = jnp.cumsum(need32) - need32  # exclusive rank among needers
+        window = jax.lax.dynamic_slice(words_u32, (gptr,), (lanes,))
+        w = jnp.take_along_axis(window, rank, axis=0)
         x_new = jnp.where(need, (x_dec << 16) | w, x_dec)
         x_new = jnp.where(v, x_new, x)
-        ptr_new = ptr + need.astype(jnp.int32)
-        return (x_new, ptr_new), jnp.where(v, s, 0)
+        return (x_new, gptr + jnp.sum(need32)), jnp.where(v, s, 0)
 
-    init = (states.astype(jnp.uint32), jnp.zeros((lanes,), jnp.int32))
-    _, syms = jax.lax.scan(step, init, (ctx_all, valid), unroll=8)
+    init = (states.astype(jnp.uint32), jnp.int32(0))
+    _, syms = jax.lax.scan(step, init, (ctx_all, valid))
     return syms.reshape(-1)[:n].astype(jnp.int32)
 
 
-def serialize_streams(words: np.ndarray, lens: np.ndarray) -> bytes:
-    """Host-side ragged concatenation of per-lane streams (bitstream
-    assembly — the native C++ core does it when available)."""
-    words = np.asarray(words)
-    lens = np.asarray(lens)
-    try:
-        from jxl_tpu import native
-
-        if native.available():
-            return native.serialize_streams_native(words, lens)
-    except Exception:
-        pass
-    parts = [words[: lens[k], k] for k in range(words.shape[1])]
-    if parts:
-        flat = np.concatenate(parts).astype("<u2")
-    else:
-        flat = np.zeros(0, dtype="<u2")
-    return flat.tobytes()
+def serialize_streams(words_flat: np.ndarray, n_words: int) -> bytes:
+    """Trim the consumption-order word array to its used prefix (the stream
+    IS the serialization — no ragged reassembly needed anymore)."""
+    return np.asarray(words_flat)[: int(n_words)].astype("<u2").tobytes()
 
 
-def deserialize_streams(data: bytes, lens: np.ndarray, lanes: int) -> np.ndarray:
-    """Rebuild the padded [Wmax, lanes] uint16 word matrix from the stream."""
-    lens = np.asarray(lens).astype(np.int64)
+def deserialize_streams(data: bytes, cap_words: int) -> np.ndarray:
+    """Stream bytes -> padded uint16 array of static length cap_words."""
     flat = np.frombuffer(data, dtype="<u2")
-    wmax = max(1, int(lens.max()) if lens.size else 1)
-    out = np.zeros((wmax, lanes), dtype=np.uint16)
-    # vectorized ragged-to-padded: target flat index = row*lanes + lane
-    lane_of = np.repeat(np.arange(lanes), lens)
-    starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
-    row_of = np.arange(lens.sum()) - np.repeat(starts, lens)
-    out.reshape(-1)[row_of * lanes + lane_of] = flat[: lens.sum()]
+    out = np.zeros(cap_words, dtype=np.uint16)
+    out[: flat.shape[0]] = flat
     return out

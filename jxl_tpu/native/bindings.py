@@ -49,12 +49,11 @@ def _load():
         i64 = ctypes.c_int64
         i32 = ctypes.c_int32
 
+        i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
         lib.rans_encode.restype = ctypes.c_int
-        lib.rans_encode.argtypes = [i32p, i32p, i64, u32p, u32p, i32, i32, i64, u16p, i32p, u32p]
+        lib.rans_encode.argtypes = [i32p, i32p, i64, u32p, u32p, i32, i32, i64, u16p, i64p, u32p]
         lib.rans_decode.restype = ctypes.c_int
-        lib.rans_decode.argtypes = [u16p, i32p, u32p, i64, i32p, u32p, u32p, i32, i32, i64, i32p]
-        lib.serialize_streams.restype = i64
-        lib.serialize_streams.argtypes = [u16p, i32p, i32, i64, u16p]
+        lib.rans_decode.argtypes = [u16p, i64, u32p, i64, i32p, u32p, u32p, i32, i32, i32p]
         lib.pack_bits.restype = None
         lib.pack_bits.argtypes = [i32p, u32p, i64, u32p, i64]
         lib.unpack_bits.restype = None
@@ -68,8 +67,8 @@ def available() -> bool:
 
 
 def rans_encode_native(tokens, ctx, freq, cum, lanes: int):
-    """Host rANS encode; returns (words [T, lanes] u16, lens, states) with
-    the same layout as entropy.rans.rans_encode."""
+    """Host rANS encode; returns (words_flat [cap] u16, n_words, states)
+    with the same consumption-order layout as entropy.rans.rans_encode."""
     lib = _load()
     assert lib, "native core unavailable"
     tokens = np.ascontiguousarray(tokens, np.int32)
@@ -77,44 +76,31 @@ def rans_encode_native(tokens, ctx, freq, cum, lanes: int):
     freq = np.ascontiguousarray(freq, np.uint32)
     cum = np.ascontiguousarray(cum, np.uint32)
     n = tokens.shape[0]
-    cap = max(1, -(-n // lanes))
-    words = np.zeros((cap, lanes), np.uint16)
-    lens = np.zeros(lanes, np.int32)
+    cap = max(1, -(-n // lanes)) * lanes
+    words = np.zeros(cap, np.uint16)
+    n_words = np.zeros(1, np.int64)
     states = np.zeros(lanes, np.uint32)
     rc = lib.rans_encode(
-        tokens, ctx, n, freq.reshape(-1), cum.reshape(-1), freq.shape[1], lanes, cap, words.reshape(-1), lens, states
+        tokens, ctx, n, freq.reshape(-1), cum.reshape(-1), freq.shape[1], lanes, cap, words, n_words, states
     )
     assert rc == 0, f"native rans_encode failed rc={rc}"
-    return words, lens, states
+    return words, int(n_words[0]), states
 
 
-def rans_decode_native(words, lens, states, ctx, freq, cum, n: int, lanes: int):
+def rans_decode_native(words_flat, n_words, states, ctx, freq, cum, n: int, lanes: int):
     lib = _load()
     assert lib, "native core unavailable"
-    words = np.ascontiguousarray(words, np.uint16)
-    lens = np.ascontiguousarray(lens, np.int32)
+    words_flat = np.ascontiguousarray(words_flat, np.uint16)
     states = np.ascontiguousarray(states, np.uint32)
     ctx = np.ascontiguousarray(ctx, np.int32)
     freq = np.ascontiguousarray(freq, np.uint32)
     cum = np.ascontiguousarray(cum, np.uint32)
     out = np.zeros(n, np.int32)
     rc = lib.rans_decode(
-        words.reshape(-1), lens, states, n, ctx, freq.reshape(-1), cum.reshape(-1), freq.shape[1], lanes, words.shape[0], out
+        words_flat, int(n_words), states, n, ctx, freq.reshape(-1), cum.reshape(-1), freq.shape[1], lanes, out
     )
     assert rc == 0, f"native rans_decode failed rc={rc}"
     return out
-
-
-def serialize_streams_native(words, lens) -> bytes:
-    lib = _load()
-    assert lib, "native core unavailable"
-    words = np.ascontiguousarray(words, np.uint16)
-    lens = np.ascontiguousarray(lens, np.int32)
-    total = int(lens.sum())
-    out = np.zeros(max(1, total), np.uint16)
-    n = lib.serialize_streams(words.reshape(-1), lens, words.shape[1], words.shape[0], out)
-    assert n == total
-    return out[:total].astype("<u2").tobytes()
 
 
 def pack_bits_native(nbits, mantissa, n_words: int):

@@ -26,18 +26,20 @@ constexpr uint32_t kL = 1u << 16;
 
 extern "C" {
 
-// Interleaved rANS encode.
+// Interleaved rANS encode with CONSUMPTION-ORDER stream output (matching
+// jxl_tpu.entropy.rans): words appear in the order the decoder reads them —
+// ascending decode step, then ascending lane among the lanes that
+// renormalize at that step.
 // tokens/ctx: [n]; freq/cum: [n_ctx * alphabet] (row-major).
-// out_words: [cap_words_per_lane * lanes] (column k = lane k, row-major by
-//   word index, matching the JAX [T, K] layout), out_lens: [lanes],
-//   out_states: [lanes]. Returns 0 on success, -1 if a lane overflows cap.
+// out_words: [cap_words]; out_n_words: scalar; out_states: [lanes].
+// Returns 0 on success, -1 if the stream overflows cap_words.
 int rans_encode(const int32_t* tokens, const int32_t* ctx, int64_t n,
                 const uint32_t* freq, const uint32_t* cum, int32_t alphabet,
-                int32_t lanes, int64_t cap_words_per_lane, uint16_t* out_words,
-                int32_t* out_lens, uint32_t* out_states) {
+                int32_t lanes, int64_t cap_words, uint16_t* out_words,
+                int64_t* out_n_words, uint32_t* out_states) {
   std::vector<uint32_t> states(lanes, kL);
-  std::vector<std::vector<uint16_t>> streams(lanes);
-  // Process symbols in reverse; symbol i belongs to lane i % lanes.
+  // (step, lane, word) triples, gathered while walking symbols in reverse.
+  std::vector<std::pair<int64_t, uint16_t>> emits;  // key = step*lanes+lane
   for (int64_t i = n - 1; i >= 0; --i) {
     int lane = static_cast<int>(i % lanes);
     uint32_t x = states[lane];
@@ -46,33 +48,32 @@ int rans_encode(const int32_t* tokens, const int32_t* ctx, int64_t n,
     uint32_t f = freq[row + s];
     uint32_t c = cum[row + s];
     if (x >= (f << 20)) {
-      streams[lane].push_back(static_cast<uint16_t>(x & 0xFFFF));
+      emits.emplace_back(i / lanes * static_cast<int64_t>(lanes) + lane,
+                         static_cast<uint16_t>(x & 0xFFFF));
       x >>= 16;
     }
     states[lane] = ((x / f) << kPrec) + (x % f) + c;
   }
-  for (int k = 0; k < lanes; ++k) {
-    // Emission order was descending symbol index; decoder consumes words in
-    // ascending symbol order, so reverse each lane stream.
-    auto& st = streams[k];
-    int64_t len = static_cast<int64_t>(st.size());
-    if (len > cap_words_per_lane) return -1;
-    out_lens[k] = static_cast<int32_t>(len);
-    out_states[k] = states[k];
-    for (int64_t w = 0; w < len; ++w) {
-      out_words[(len - 1 - w) * lanes + k] = st[w];
-    }
+  if (static_cast<int64_t>(emits.size()) > cap_words) return -1;
+  // Reverse walk produced descending keys; consumption order is ascending.
+  int64_t nw = static_cast<int64_t>(emits.size());
+  for (int64_t j = 0; j < nw; ++j) {
+    out_words[j] = emits[nw - 1 - j].second;
   }
+  // keys are strictly decreasing during the reverse walk, so the plain
+  // reversal above already yields ascending (step, lane) order.
+  *out_n_words = nw;
+  for (int k = 0; k < lanes; ++k) out_states[k] = states[k];
   return 0;
 }
 
-// Interleaved rANS decode; words laid out [T, lanes] like the JAX decoder.
-int rans_decode(const uint16_t* words, const int32_t* lens,
+// Decode from a consumption-order stream.
+int rans_decode(const uint16_t* words, int64_t n_words,
                 const uint32_t* states_in, int64_t n, const int32_t* ctx,
                 const uint32_t* freq, const uint32_t* cum, int32_t alphabet,
-                int32_t lanes, int64_t words_rows, int32_t* out_tokens) {
+                int32_t lanes, int32_t* out_tokens) {
   std::vector<uint32_t> states(states_in, states_in + lanes);
-  std::vector<int64_t> ptr(lanes, 0);
+  int64_t gptr = 0;
   for (int64_t i = 0; i < n; ++i) {
     int lane = static_cast<int>(i % lanes);
     uint32_t x = states[lane];
@@ -84,42 +85,14 @@ int rans_decode(const uint16_t* words, const int32_t* lens,
     uint32_t f = freq[row + s];
     x = f * (x >> kPrec) + slot - cum[row + s];
     if (x < kL) {
-      if (ptr[lane] >= words_rows) return -1;
-      x = (x << 16) | words[ptr[lane] * lanes + lane];
-      ++ptr[lane];
+      if (gptr >= n_words) return -1;
+      x = (x << 16) | words[gptr++];
     }
     states[lane] = x;
     out_tokens[i] = s;
   }
-  // All lanes must have consumed exactly their stream.
-  for (int k = 0; k < lanes; ++k) {
-    if (ptr[k] != lens[k]) return -2;
-  }
+  if (gptr != n_words) return -2;
   return 0;
-}
-
-// Ragged serialization: [T, lanes] words + lens -> flat stream (lane-major).
-int64_t serialize_streams(const uint16_t* words, const int32_t* lens,
-                          int32_t lanes, int64_t rows, uint16_t* out) {
-  int64_t off = 0;
-  for (int k = 0; k < lanes; ++k) {
-    for (int64_t w = 0; w < lens[k]; ++w) {
-      out[off++] = words[w * lanes + k];
-    }
-  }
-  return off;
-}
-
-int64_t deserialize_streams(const uint16_t* flat, const int32_t* lens,
-                            int32_t lanes, int64_t rows, uint16_t* out_words) {
-  std::memset(out_words, 0, sizeof(uint16_t) * rows * lanes);
-  int64_t off = 0;
-  for (int k = 0; k < lanes; ++k) {
-    for (int64_t w = 0; w < lens[k]; ++w) {
-      out_words[w * lanes + k] = flat[off++];
-    }
-  }
-  return off;
 }
 
 // Raw-bit packing, MSB-first, identical to entropy/tokens.py pack_bits.

@@ -35,25 +35,25 @@ def _data(n=20000, seed=0, n_ctx=5):
 def test_native_encode_matches_jax():
     tokens, ctx, freq, cum = _data()
     lanes = 16
-    wj, lj, sj = rans_encode(
+    wj, nj, sj = rans_encode(
         jnp.asarray(tokens), jnp.asarray(ctx), jnp.asarray(freq), jnp.asarray(cum), lanes=lanes
     )
-    wn, ln, sn = native.rans_encode_native(tokens, ctx, freq, cum, lanes)
-    np.testing.assert_array_equal(np.asarray(lj), ln)
+    wn, nn, sn = native.rans_encode_native(tokens, ctx, freq, cum, lanes)
+    assert int(nj) == nn
     np.testing.assert_array_equal(np.asarray(sj), sn)
-    np.testing.assert_array_equal(np.asarray(wj), wn)
+    np.testing.assert_array_equal(np.asarray(wj)[: int(nj)], wn[:nn])
     # serialized bytes identical too
-    assert serialize_streams(np.asarray(wj), np.asarray(lj)) == native.serialize_streams_native(wn, ln)
+    assert serialize_streams(np.asarray(wj), int(nj)) == serialize_streams(wn, nn)
 
 
 def test_native_decodes_jax_stream():
     tokens, ctx, freq, cum = _data(seed=1)
     lanes = 8
-    wj, lj, sj = rans_encode(
+    wj, nj, sj = rans_encode(
         jnp.asarray(tokens), jnp.asarray(ctx), jnp.asarray(freq), jnp.asarray(cum), lanes=lanes
     )
     out = native.rans_decode_native(
-        np.asarray(wj), np.asarray(lj), np.asarray(sj), ctx, freq, cum, len(tokens), lanes
+        np.asarray(wj), int(nj), np.asarray(sj), ctx, freq, cum, len(tokens), lanes
     )
     np.testing.assert_array_equal(out, tokens)
 
@@ -61,12 +61,10 @@ def test_native_decodes_jax_stream():
 def test_jax_decodes_native_stream():
     tokens, ctx, freq, cum = _data(seed=2)
     lanes = 8
-    wn, ln, sn = native.rans_encode_native(tokens, ctx, freq, cum, lanes)
-    blob = native.serialize_streams_native(wn, ln)
-    words2 = deserialize_streams(blob, ln, lanes)
+    wn, nn, sn = native.rans_encode_native(tokens, ctx, freq, cum, lanes)
+    blob = serialize_streams(wn, nn)
     T = max(1, -(-len(tokens) // lanes))
-    if words2.shape[0] < T:
-        words2 = np.pad(words2, ((0, T - words2.shape[0]), (0, 0)))
+    words2 = deserialize_streams(blob, T * lanes)
     decoded = rans_decode(
         jnp.asarray(words2), jnp.asarray(sn), jnp.asarray(ctx), jnp.asarray(freq), jnp.asarray(cum), len(tokens), lanes=lanes
     )

@@ -42,15 +42,13 @@ def _roundtrip(tokens, ctx, n_ctx, alphabet, lanes=8):
     counts = np.zeros((n_ctx, alphabet), dtype=np.int64)
     np.add.at(counts, (ctx, tokens), 1)
     freq, cum = quantize_histograms(counts)
-    words, lens, states = rans_encode(
+    words, n_words, states = rans_encode(
         jnp.asarray(tokens), jnp.asarray(ctx), jnp.asarray(freq), jnp.asarray(cum), lanes=lanes
     )
     # through the serialized form, like the real container does
-    blob = serialize_streams(np.asarray(words), np.asarray(lens))
-    words2 = deserialize_streams(blob, np.asarray(lens), lanes)
+    blob = serialize_streams(np.asarray(words), int(n_words))
     T = max(1, -(-len(tokens) // lanes))
-    if words2.shape[0] < T:
-        words2 = np.pad(words2, ((0, T - words2.shape[0]), (0, 0)))
+    words2 = deserialize_streams(blob, T * lanes)
     decoded = rans_decode(
         jnp.asarray(words2),
         jnp.asarray(np.asarray(states)),
@@ -103,10 +101,10 @@ def test_rans_compression_ratio():
     counts = np.zeros((1, 37), dtype=np.int64)
     np.add.at(counts, (ctx, tokens), 1)
     freq, cum = quantize_histograms(counts)
-    words, lens, states = rans_encode(
+    words, n_words, states = rans_encode(
         jnp.asarray(tokens), jnp.asarray(ctx), jnp.asarray(freq), jnp.asarray(cum), lanes=64
     )
-    n_bytes = int(np.asarray(lens).sum()) * 2 + 64 * 4  # words + states
+    n_bytes = int(n_words) * 2 + 64 * 4  # words + states
     bits_per_token = n_bytes * 8 / n
     # entropy of geometric(0.7) is ~1.4 bits
     assert bits_per_token < 1.8, bits_per_token

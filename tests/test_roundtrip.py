@@ -57,7 +57,8 @@ def test_container_roundtrip_fields():
     data = encode_image(img, CodecConfig(distance=1.0, effort=3))
     s = read_container(data)
     assert s.freq.sum(axis=1).max() == 1 << 12
-    assert len(s.stream_words) == 2 * int(s.lens.sum())
+    assert len(s.stream_words) % 2 == 0 and len(s.stream_words) > 0
+    assert s.states.shape[0] == s.header.lanes
     out = decode_bytes(data)
     assert out.shape == img.shape
 
