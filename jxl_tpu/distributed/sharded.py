@@ -53,6 +53,60 @@ def _single_image_step(rgb, freq, cum, *, height, width, distance, lanes):
     return nbytes, counts
 
 
+def sharded_epf(planes, eff_mul, distance, mesh):
+    """EPF over a width-sharded image with EXPLICIT halo exchange.
+
+    The distributed analog of libjxl's cross-group filtering: each device
+    holds a vertical stripe of the image ("space" axis); the 1-pixel column
+    halos the cross-shaped kernel needs are exchanged with the ring
+    neighbors via `ppermute` (ICI neighbor collectives — the
+    boundary-exchange pattern SURVEY §5.7 calls the ring-attention analog
+    for images). Global image edges use edge replication, selected by
+    axis_index so the ring wrap never leaks pixels across the image border.
+
+    planes: [3, H, W] (W divisible by 8 * mesh "space" size),
+    eff_mul: [nby, nbx]. Returns filtered [3, H, W] with the exact same
+    values as the unsharded transforms.epf.epf_apply.
+    """
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from jxl_tpu.transforms.epf import epf_filter_ext, epf_sigma
+
+    h, w = planes.shape[-2:]
+    n_space = mesh.shape["space"]
+    assert w % (8 * n_space) == 0, "width must split into whole block columns"
+    sig = epf_sigma(eff_mul, distance, h, w)
+
+    def body(pl_local, sig_local):
+        idx = jax.lax.axis_index("space")
+        left_edge = pl_local[:, :, :1]
+        right_edge = pl_local[:, :, -1:]
+        # ring exchange: receive the right neighbor's leftmost column and
+        # the left neighbor's rightmost column
+        fwd = [(i, (i + 1) % n_space) for i in range(n_space)]
+        bwd = [(i, (i - 1) % n_space) for i in range(n_space)]
+        from_left = jax.lax.ppermute(right_edge, "space", fwd)
+        from_right = jax.lax.ppermute(left_edge, "space", bwd)
+        # global borders replicate their own edge instead of ring-wrapping
+        from_left = jnp.where(idx == 0, left_edge, from_left)
+        from_right = jnp.where(idx == n_space - 1, right_edge, from_right)
+        ext = jnp.concatenate([from_left, pl_local, from_right], axis=-1)
+        ext = jnp.pad(ext, ((0, 0), (1, 1), (0, 0)), mode="edge")
+        return epf_filter_ext(ext, sig_local)
+
+    fn = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(None, None, "space"), P(None, "space")),
+        out_specs=P(None, None, "space"),
+    )
+    return fn(planes, sig)
+
+
 def make_sharded_encode_step(mesh=None, *, height, width, distance=1.0, lanes=64):
     """Returns (jitted_step, input_sharding) for [B, H, W, 3] u8 batches.
 

@@ -19,21 +19,28 @@ _EPF_BASE = (0.0035, 0.0045, 0.008)
 _EPF_DISTANCE_POW = 0.8
 
 
-def epf_apply(planes: jnp.ndarray, eff_mul: jnp.ndarray, distance) -> jnp.ndarray:
-    """planes: [3, Hp, Wp] XYB (B as residual); eff_mul: [nby, nbx] per-block
-    step multipliers; distance: traced scalar. Returns filtered planes."""
+def epf_sigma(eff_mul: jnp.ndarray, distance, height: int, width: int) -> jnp.ndarray:
+    """Per-pixel sigma field from the per-block multipliers."""
     d = jnp.maximum(jnp.asarray(distance, jnp.float32), 1e-4)
     strength = d**_EPF_DISTANCE_POW
     sig_block = eff_mul * strength  # [nby, nbx]
     sig_pix = jnp.repeat(jnp.repeat(sig_block, 8, axis=0), 8, axis=1)
-    h, w = planes.shape[-2:]
-    sig_pix = sig_pix[:h, :w]
+    return sig_pix[:height, :width]
 
+
+def epf_filter_ext(planes_ext: jnp.ndarray, sig_pix: jnp.ndarray) -> jnp.ndarray:
+    """Core filter given 1-pixel halos: planes_ext [3, H+2, W+2] -> [3, H, W].
+
+    The halo rows/cols come from edge replication on a single device, or
+    from neighbor-device exchange (ppermute) when the image is sharded —
+    see distributed.sharded.sharded_epf.
+    """
+    h, w = planes_ext.shape[-2] - 2, planes_ext.shape[-1] - 2
     out = []
     for c in range(3):
-        x = planes[c]
+        xp = planes_ext[c]
+        x = xp[1 : 1 + h, 1 : 1 + w]
         sigma = sig_pix * _EPF_BASE[c]
-        xp = jnp.pad(x, 1, mode="edge")
         acc = x
         wacc = jnp.ones_like(x)
         for dy, dx in ((-1, 0), (1, 0), (0, -1), (0, 1)):
@@ -44,3 +51,12 @@ def epf_apply(planes: jnp.ndarray, eff_mul: jnp.ndarray, distance) -> jnp.ndarra
             wacc = wacc + wgt
         out.append(acc / wacc)
     return jnp.stack(out)
+
+
+def epf_apply(planes: jnp.ndarray, eff_mul: jnp.ndarray, distance) -> jnp.ndarray:
+    """planes: [3, Hp, Wp] XYB (B as residual); eff_mul: [nby, nbx] per-block
+    step multipliers; distance: traced scalar. Returns filtered planes."""
+    h, w = planes.shape[-2:]
+    sig_pix = epf_sigma(eff_mul, distance, h, w)
+    planes_ext = jnp.pad(planes, ((0, 0), (1, 1), (1, 1)), mode="edge")
+    return epf_filter_ext(planes_ext, sig_pix)

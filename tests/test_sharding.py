@@ -44,3 +44,23 @@ def test_sharded_encode_matches_single_device():
 
     np.testing.assert_array_equal(np.asarray(nbytes_sharded), np.asarray(nbytes_1))
     np.testing.assert_array_equal(np.asarray(counts_sharded), np.asarray(counts_1))
+
+
+def test_sharded_epf_matches_unsharded():
+    """Explicit ppermute halo exchange must reproduce the single-device EPF
+    bit-for-bit (boundary handling included)."""
+    import jax.numpy as jnp
+
+    from jxl_tpu.distributed.mesh import make_mesh
+    from jxl_tpu.distributed.sharded import sharded_epf
+    from jxl_tpu.transforms.epf import epf_apply
+
+    rng = np.random.default_rng(7)
+    h, w = 32, 8 * 8 * 4  # width splits over 4 space shards
+    planes = jnp.asarray(rng.normal(0.4, 0.1, (3, h, w)).astype(np.float32))
+    eff = jnp.asarray(rng.uniform(0.6, 2.0, (h // 8, w // 8)).astype(np.float32))
+
+    want = np.asarray(epf_apply(planes, eff, 2.0))
+    mesh = make_mesh(8, space=4)
+    got = np.asarray(sharded_epf(planes, eff, 2.0, mesh))
+    np.testing.assert_allclose(got, want, atol=1e-6)
