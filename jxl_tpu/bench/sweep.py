@@ -38,7 +38,7 @@ from jxl_tpu.bench.csv_schema import (
 )
 from jxl_tpu.codec.config import CodecConfig, Strategy
 from jxl_tpu.codec.decode import decode_bytes
-from jxl_tpu.codec.encode import encode_image
+from jxl_tpu.codec.encode import encode_image, encode_image_grid
 from jxl_tpu.core.io import read_image, read_image_metadata
 from jxl_tpu.metrics import (
     calculate_butteraugli,
@@ -163,21 +163,26 @@ class SweepRunner:
             rgb = read_image(img_path)
             stem = os.path.splitext(image_name)[0]
 
-            for d in self.config.distances:
-                for e in self.config.efforts:
-                    if (image_name, d, e) in done:
-                        continue
+            for e in self.config.efforts:
+                todo = [
+                    d for d in self.config.distances if (image_name, d, e) not in done
+                ]
+                if not todo:
+                    continue
+                # one dispatch per (image, effort): the whole distance row of
+                # the grid is encoded as a vmapped batch (encode_image_grid)
+                t0 = time.perf_counter()
+                try:
+                    cfg = CodecConfig(effort=int(e), strategy=strategy)
+                    datas = encode_image_grid(rgb, cfg, todo, orig_name=image_name)
+                except Exception as exc:  # skip-on-failure (benchmark.rs:661-677)
+                    print(
+                        f"[sweep] grid encode failed for {stem} e{e}: {exc!r}; skipping"
+                    )
+                    continue
+                encode_s = (time.perf_counter() - t0) / max(1, len(todo))
+                for d, data in zip(todo, datas):
                     comp_name = f"{stem}-{d}-{e}.jxt"
-                    t0 = time.perf_counter()
-                    try:
-                        cfg = CodecConfig(
-                            distance=float(d), effort=int(e), strategy=strategy
-                        )
-                        data = encode_image(rgb, cfg, orig_name=image_name)
-                    except Exception as exc:  # skip-on-failure (benchmark.rs:661-677)
-                        print(f"[sweep] encode failed for {comp_name}: {exc!r}; skipping")
-                        continue
-                    encode_s = time.perf_counter() - t0
                     t1 = time.perf_counter()
                     out = decode_bytes(data)
                     decode_s = time.perf_counter() - t1

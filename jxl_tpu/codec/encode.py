@@ -177,11 +177,7 @@ _encode_stage1 = partial(
 )(tokens_from_rgb)
 
 
-@partial(
-    jax.jit,
-    static_argnames=("height", "width", "effort", "hook_a", "hook_b", "lanes", "cap_bytes"),
-)
-def _encode_full(
+def _encode_full_core(
     rgb,
     distance,
     *,
@@ -193,7 +189,7 @@ def _encode_full(
     lanes: int,
     cap_bytes: int,
 ):
-    """The whole encoder as one compiled program: pixels -> streams.
+    """The whole encoder as one traceable program: pixels -> streams.
 
     Histogram quantization runs on device (quantize_histograms_t), so the
     only host work left is trimming transfers and assembling the container —
@@ -206,9 +202,26 @@ def _encode_full(
     )
     freq, cum = quantize_histograms_t(counts)
     ctx = jnp.asarray(lay["ctx"])
-    words, lens, states = rans_encode(token, ctx, freq, cum, lanes=lanes)
+    words, n_words, states = rans_encode(token, ctx, freq, cum, lanes=lanes)
     mant_arr, total_bytes = pack_bytes(nbits, mant, cap_bytes)
-    return words, lens, states, mant_arr, total_bytes, freq
+    return words, n_words, states, mant_arr.astype(jnp.uint8), total_bytes, freq
+
+
+_encode_full = partial(
+    jax.jit,
+    static_argnames=("height", "width", "effort", "hook_a", "hook_b", "lanes", "cap_bytes"),
+)(_encode_full_core)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("height", "width", "effort", "hook_a", "hook_b", "lanes", "cap_bytes"),
+)
+def _encode_grid(rgb, distances, **kw):
+    """vmap of the full encoder over an RD sweep's distance axis — one
+    dispatch covers the whole row of the reference grid (distance is a
+    traced scalar throughout the codec, so all lanes share one program)."""
+    return jax.vmap(lambda d: _encode_full_core(rgb, d, **kw))(distances)
 
 
 @partial(jax.jit, static_argnames=("height", "width", "lanes", "cap_bytes"))
@@ -268,6 +281,14 @@ def encode_image(rgb: np.ndarray, config: CodecConfig, orig_name: str = "") -> b
         (words[: max(1, n_words)], mant_arr[: max(1, total_bytes)])
     )
     mant_np = mant_u32.astype(np.uint8)
+    return _assemble_container(
+        h, w, config, orig_name, lanes, lay, freq_np, states_np, words_np, n_words, mant_np
+    )
+
+
+def _assemble_container(
+    h, w, config, orig_name, lanes, lay, freq_np, states_np, words_np, n_words, mant_np
+) -> bytes:
     header = JxtHeader(
         height=h,
         width=w,
@@ -289,6 +310,61 @@ def encode_image(rgb: np.ndarray, config: CodecConfig, orig_name: str = "") -> b
         mant_bytes=mant_np.tobytes(),
     )
     return write_container(stream)
+
+
+def encode_image_grid(
+    rgb: np.ndarray, config: CodecConfig, distances, orig_name: str = ""
+) -> list:
+    """Encode one image at every distance of an RD sweep in ONE dispatch.
+
+    Returns a list of container byte strings, one per distance (same order).
+    All distances share a single compiled program (distance is traced), so
+    a 10-point sweep row costs one kernel launch + one batched transfer
+    instead of 10 of each.
+    """
+    h, w = int(rgb.shape[0]), int(rgb.shape[1])
+    lay = token_layout(h, w)
+    cap = byte_capacity(lay["n_tokens"])
+    lanes = pick_lanes(lay["n_tokens"], config.lanes)
+    d_arr = jnp.asarray([max(float(d), 0.05) for d in distances], jnp.float32)
+
+    words, n_words, states, mant_arr, total_bytes, freq = _encode_grid(
+        jnp.asarray(rgb),
+        d_arr,
+        height=h,
+        width=w,
+        effort=int(config.effort),
+        hook_a=config.strategy.hook_a,
+        hook_b=config.strategy.hook_b,
+        lanes=lanes,
+        cap_bytes=cap,
+    )
+    n_words_np, total_bytes_np, states_np, freq_np = jax.device_get(
+        (n_words, total_bytes, states, freq)
+    )
+    wmax = max(1, int(n_words_np.max()))
+    bmax = max(1, int(total_bytes_np.max()))
+    words_np, mant_np = jax.device_get((words[:, :wmax], mant_arr[:, :bmax]))
+
+    out = []
+    for i, d in enumerate(distances):
+        cfg_d = replace(config, distance=max(float(d), 0.05))
+        out.append(
+            _assemble_container(
+                h,
+                w,
+                cfg_d,
+                orig_name,
+                lanes,
+                lay,
+                freq_np[i],
+                states_np[i],
+                words_np[i],
+                int(n_words_np[i]),
+                mant_np[i][: int(total_bytes_np[i])],
+            )
+        )
+    return out
 
 
 def encode_file(in_path: str, out_path: str, config: CodecConfig) -> int:
