@@ -33,7 +33,10 @@ from dataclasses import dataclass
 import numpy as np
 
 MAGIC = b"JXT1"
-VERSION = 4  # v4: consumption-order rANS stream (no per-lane lens)
+# v4: consumption-order rANS stream (no per-lane lens)
+# v5: grouped streams — per-128-lane-group word/mantissa segments with
+#     per-group counts; z-major AC token order; K-padded context runs
+VERSION = 5
 
 
 def _pack_freq_tables(freq: np.ndarray) -> bytes:
@@ -108,8 +111,10 @@ class JxtStream:
     header: JxtHeader
     freq: np.ndarray  # [n_ctx, A] uint32
     states: np.ndarray  # [K] uint32
-    stream_words: bytes  # consumption-order words, u16 LE
-    mant_bytes: bytes  # byte-aligned mantissas, little-endian per value
+    stream_words: bytes  # per-group consumption-order word segments, u16 LE
+    mant_bytes: bytes  # per-group mantissa byte segments (LE within a value)
+    wcounts: np.ndarray = None  # [G] uint32 words per group
+    mcounts: np.ndarray = None  # [G] uint32 mantissa bytes per group
     acs_extra: bytes = b""
 
 
@@ -133,6 +138,8 @@ def write_container(s: JxtStream) -> bytes:
         struct.pack("<HIBB", h.lanes, h.n_tokens, h.n_ctx, h.alphabet),
         _pack_freq_tables(s.freq),
         s.states.astype("<u4").tobytes(),
+        np.asarray(s.wcounts, dtype="<u4").tobytes(),
+        np.asarray(s.mcounts, dtype="<u4").tobytes(),
         struct.pack("<I", len(s.stream_words) // 2),
         s.stream_words,
         struct.pack("<I", len(s.mant_bytes)),
@@ -158,6 +165,11 @@ def read_container(data: bytes) -> JxtStream:
     freq, off = _unpack_freq_tables(data, off, n_ctx, alphabet)
     states = np.frombuffer(data, dtype="<u4", count=lanes, offset=off).astype(np.uint32)
     off += lanes * 4
+    n_groups = lanes // 128
+    wcounts = np.frombuffer(data, dtype="<u4", count=n_groups, offset=off).astype(np.uint32)
+    off += n_groups * 4
+    mcounts = np.frombuffer(data, dtype="<u4", count=n_groups, offset=off).astype(np.uint32)
+    off += n_groups * 4
     (n_stream_words,) = struct.unpack_from("<I", data, off)
     off += 4
     stream_words = data[off : off + n_stream_words * 2]
@@ -188,6 +200,8 @@ def read_container(data: bytes) -> JxtStream:
         states=states,
         stream_words=stream_words,
         mant_bytes=mant_bytes,
+        wcounts=wcounts,
+        mcounts=mcounts,
         acs_extra=acs_extra,
     )
 

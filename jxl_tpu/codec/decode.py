@@ -1,11 +1,15 @@
 """TPU-native JXT decoder — exact mirror of codec.encode.
 
 Replaces the reference's host-side decode path (jpegxl-rs -> libjxl C++,
-`image_reader.rs:370-439`). Two-pass parallel decode: the rANS scan yields
-all tokens, token -> nbits gives every mantissa's bit offset via cumsum, one
-vectorized gather rebuilds values, DC is reconstructed with a separable 2D
-prefix sum (inverse of the unclamped gradient predictor), and IDCT + inverse
-XYB are batched matmuls/elementwise ops.
+`image_reader.rs:370-439`). One packed upload, one fused program: the
+grouped rANS Pallas kernel (entropy/pallas_rans.py; XLA twin on CPU)
+decodes the whole token stream INCLUDING mantissa consumption — it emits
+final values — then DC is reconstructed with a separable 2D prefix sum
+(inverse of the unclamped gradient predictor) and IDCT + CfL + EPF +
+inverse XYB are batched matmuls/elementwise ops. Pixels are returned
+device-resident (decode_stream_device); downloads over the TPU tunnel cost
+~25 ms fixed + ~27 ms/MB, so only consumers that truly need host pixels
+pay for them.
 """
 
 from __future__ import annotations
@@ -19,13 +23,7 @@ import numpy as np
 from jxl_tpu.codec.container import JxtStream, read_container
 from jxl_tpu.codec.layout import token_layout
 from jxl_tpu.core.xyb import xyb_to_srgb
-from jxl_tpu.entropy.rans import rans_decode
-from jxl_tpu.entropy.tokens import (
-    detokenize,
-    token_nbits,
-    unpack_bytes,
-    zigzag_unmap,
-)
+from jxl_tpu.entropy.tokens import zigzag_unmap
 from jxl_tpu.strategy.acs import (
     ACS_DCT4X4,
     ACS_DCT4X8,
@@ -134,64 +132,64 @@ def _pow2_bucket(n: int, floor: int = 1024) -> int:
     return b
 
 
-@partial(jax.jit, static_argnames=("height", "width", "lanes", "epf", "w2b", "m4b"))
-def _decode_packed(packed, distance, *, height, width, lanes, epf, w2b, m4b):
+def _use_pallas() -> bool:
+    """The Mosaic kernel needs real TPU hardware; CPU runs (tests, harness
+    logic) use the bit-exact XLA reference decoder."""
+    import os
+
+    if os.environ.get("JXL_TPU_NO_PALLAS"):
+        return False
+    return jax.devices()[0].platform != "cpu"
+
+
+@partial(jax.jit, static_argnames=("height", "width", "lanes", "epf", "capw", "capm", "pallas"))
+def _decode_packed(packed, distance, *, height, width, lanes, epf, capw, capm, pallas):
     """Unpack the single uploaded u32 buffer and decode.
 
-    Host->device layout (static offsets; w2b/m4b are power-of-two bucket
+    Host->device layout (static offsets; capw/capm are power-of-two bucket
     sizes so jit specializations stay bounded):
       [0:NF]         freq tables (N_CTX*A u32)
       [NF:NF+lanes]  final rANS states
-      [.. : ..+w2b]  words, 2 x u16 per u32 (LE)
-      [.. : ..+m4b]  mantissa bytes, 4 per u32 (LE)
+      [.. : ..+G*capw] per-group rANS words, one u16 word per u32
+      [.. : ..+G*capm] per-group mantissa bytes, one byte per u32
     """
-    from jxl_tpu.codec.layout import N_CTX
+    from jxl_tpu.codec.layout import N_CTX, padded_layout
+    from jxl_tpu.entropy.grouped import GROUP, decode_grouped, kernel_rows
+    from jxl_tpu.entropy.pallas_rans import decode_grouped_pallas, rows_padded
     from jxl_tpu.entropy.tokens import ALPHABET
 
+    lay = padded_layout(height, width, lanes)
+    T = lay["T"]
+    G = lanes // GROUP
     nf = N_CTX * ALPHABET
     freq = packed[:nf].reshape(N_CTX, ALPHABET)
     states = packed[nf : nf + lanes]
-    w2 = packed[nf + lanes : nf + lanes + w2b]
-    m4 = packed[nf + lanes + w2b : nf + lanes + w2b + m4b]
-    words = jnp.stack([w2 & 0xFFFF, w2 >> 16], axis=1).reshape(-1)
-    mant_arr = jnp.stack(
-        [m4 & 0xFF, (m4 >> 8) & 0xFF, (m4 >> 16) & 0xFF, m4 >> 24], axis=1
-    ).reshape(-1)
-    lay = token_layout(height, width)
-    T = max(1, -(-lay["n_tokens"] // lanes))
-    pad_w = T * lanes - words.shape[0]
-    if pad_w > 0:
-        words = jnp.concatenate([words, jnp.zeros((pad_w,), jnp.uint32)])
-    else:
-        words = words[: T * lanes]
+    o = nf + lanes
+    words_g = packed[o : o + G * capw].reshape(G, capw)
+    mant_g = packed[o + G * capw : o + G * capw + G * capm].reshape(G, capm)
     cum = jnp.concatenate(
         [jnp.zeros((N_CTX, 1), jnp.uint32), jnp.cumsum(freq, axis=1)[:, :-1]], axis=1
     )
-    return _decode_body(
-        words, states, mant_arr, freq, cum, distance, height=height, width=width, lanes=lanes, epf=epf
-    )
+    rows = kernel_rows(jnp.asarray(lay["step_ctx"]), freq, cum)
+    if pallas:
+        values_p = decode_grouped_pallas(
+            words_g, mant_g, states, rows_padded(rows, T), T=T, lanes=lanes
+        )
+    else:
+        values_p = decode_grouped(words_g, mant_g, states, rows, T=T, lanes=lanes)
+
+    # strip the per-run K-padding back out (static slices)
+    parts = [
+        jax.lax.slice(values_p, (dst,), (dst + n_real,))
+        for _c, dst, n_real, _n_pad in lay["spans"]
+    ]
+    values = jnp.concatenate(parts)
+    return _reconstruct(values, distance, height=height, width=width, epf=epf)
 
 
-@partial(jax.jit, static_argnames=("height", "width", "lanes", "epf"))
-def _decode_core(
-    words, states, mant_arr, freq, cum, distance, *, height, width, lanes, epf=True
-):
-    return _decode_body(
-        words, states, mant_arr, freq, cum, distance, height=height, width=width, lanes=lanes, epf=epf
-    )
-
-
-def _decode_body(
-    words, states, mant_arr, freq, cum, distance, *, height, width, lanes, epf=True
-):
+def _reconstruct(values, distance, *, height, width, epf=True):
+    """Decoded value stream -> pixels (dequant, IDCT, CfL, EPF, colorspace)."""
     lay = token_layout(height, width)
-    ctx = jnp.asarray(lay["ctx"])
-    n = lay["n_tokens"]
-
-    tokens = rans_decode(words, states, ctx, freq, cum, n, lanes=lanes)
-    nbits = token_nbits(tokens)
-    mant = unpack_bytes(nbits, mant_arr)
-    values = detokenize(tokens, mant)
     signed = zigzag_unmap(values)
 
     n_acs, n_qf, n_cfl, n_dc = lay["n_acs"], lay["n_qf"], lay["n_cfl"], lay["n_dc"]
@@ -212,7 +210,7 @@ def _decode_body(
     dc_res = signed[dc_start : dc_start + n_dc].reshape(3, nby, nbx)
     dcq = jnp.cumsum(jnp.cumsum(dc_res, axis=1), axis=2)  # inverse gradient predictor
 
-    ac = signed[dc_start + n_dc :].reshape(3, nb, 63)
+    ac = signed[dc_start + n_dc :].reshape(3, 63, nb).transpose(0, 2, 1)
     # Rebuild the 64-coefficient block: DC slot 0, then inverse zigzag
     # (as a permutation matmul — see transforms.dct.permute_last).
     acq_zz = jnp.concatenate([jnp.zeros((3, nb, 1), jnp.int32), ac], axis=-1)
@@ -259,25 +257,31 @@ def decode_stream_device(stream: JxtStream):
     downloads cost ~25 ms fixed + ~27 ms/MB, so the pixels stay on device —
     metrics and sweep consumers operate there and only fetch scalars).
     """
-    h = stream.header
-    words = np.frombuffer(stream.stream_words, dtype="<u2")
-    mant = np.frombuffer(stream.mant_bytes, dtype=np.uint8)
-    w2b = _pow2_bucket((words.shape[0] + 1) // 2)
-    m4b = _pow2_bucket((mant.shape[0] + 3) // 4)
-
     from jxl_tpu.codec.layout import N_CTX
+    from jxl_tpu.entropy.grouped import GROUP
+    from jxl_tpu.entropy.pallas_rans import MANT_SLACK, WORD_SLACK
     from jxl_tpu.entropy.tokens import ALPHABET
 
+    h = stream.header
+    G = h.lanes // GROUP
+    words = np.frombuffer(stream.stream_words, dtype="<u2")
+    mant = np.frombuffer(stream.mant_bytes, dtype=np.uint8)
+    wcounts = stream.wcounts.astype(np.int64)
+    mcounts = stream.mcounts.astype(np.int64)
+    capw = _pow2_bucket(int(wcounts.max()) + WORD_SLACK if wcounts.size else 1)
+    capm = _pow2_bucket(int(mcounts.max()) + MANT_SLACK if mcounts.size else 1)
+
     nf = N_CTX * ALPHABET
-    packed = np.zeros(nf + h.lanes + w2b + m4b, dtype=np.uint32)
+    packed = np.zeros(nf + h.lanes + G * (capw + capm), dtype=np.uint32)
     packed[:nf] = stream.freq.reshape(-1)
     packed[nf : nf + h.lanes] = stream.states
-    wpad = np.zeros(2 * w2b, dtype="<u2")
-    wpad[: words.shape[0]] = words
-    packed[nf + h.lanes : nf + h.lanes + w2b] = wpad.view("<u4")
-    mpad = np.zeros(4 * m4b, dtype=np.uint8)
-    mpad[: mant.shape[0]] = mant
-    packed[nf + h.lanes + w2b :] = mpad.view("<u4")
+    wg = packed[nf + h.lanes : nf + h.lanes + G * capw].reshape(G, capw)
+    mg = packed[nf + h.lanes + G * capw :].reshape(G, capm)
+    wb = np.concatenate([[0], np.cumsum(wcounts)])
+    mb = np.concatenate([[0], np.cumsum(mcounts)])
+    for g in range(G):
+        wg[g, : wcounts[g]] = words[wb[g] : wb[g + 1]]
+        mg[g, : mcounts[g]] = mant[mb[g] : mb[g + 1]]
 
     return _decode_packed(
         jnp.asarray(packed),
@@ -286,14 +290,17 @@ def decode_stream_device(stream: JxtStream):
         width=h.width,
         lanes=h.lanes,
         epf=h.epf,
-        w2b=w2b,
-        m4b=m4b,
+        capw=capw,
+        capm=capm,
+        pallas=_use_pallas(),
     )
 
 
 def decode_stream(stream: JxtStream) -> np.ndarray:
     """JxtStream -> RGB u8 [H, W, 3] (host array)."""
-    return np.asarray(decode_stream_device(stream))
+    from jxl_tpu.utils.jax_setup import ready_get
+
+    return np.asarray(ready_get(decode_stream_device(stream)))
 
 
 def decode_bytes(data: bytes) -> np.ndarray:

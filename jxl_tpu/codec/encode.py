@@ -4,13 +4,15 @@ Replaces the reference's `cjxl` invocation path (`docker_manager.rs:100-136`)
 with an on-device pipeline:
 
   sRGB u8 -> XYB -> (B -= Y residual) -> pad -> 8x8 blocks -> DCT (MXU
-  matmuls) -> quantize -> DC gradient-predictor residuals + zigzag AC ->
-  hybrid-uint tokens -> per-context histograms -> interleaved rANS + raw-bit
-  pack -> host container assembly.
+  matmuls) -> quantize -> DC gradient-predictor residuals + zigzag AC
+  (z-major) -> hybrid-uint tokens -> MXU histograms -> K-padded runs ->
+  grouped interleaved rANS + grouped mantissa bytes -> one packed u32
+  output buffer -> host container assembly.
 
-Device/host split: all per-pixel and per-symbol work is jitted JAX; the host
-only quantizes the (tiny) histogram table and concatenates ragged lane
-streams — the split SURVEY §7 "hard parts #1" prescribes.
+Device/host split: ALL per-pixel and per-symbol work is one jitted
+program; the host does one speculative device_get of the packed prefix and
+byte-level container framing — the split SURVEY §7 "hard parts #1"
+prescribes, tightened for a tunnel where every sync costs ~25 ms.
 
 The DC gradient predictor is deliberately unclamped (pred = W + N - NW):
 its inverse is a separable 2D prefix sum, so the decoder reconstructs DC
@@ -28,16 +30,17 @@ import numpy as np
 
 from jxl_tpu.codec.config import CodecConfig
 from jxl_tpu.codec.container import JxtHeader, JxtStream, write_container
-from jxl_tpu.codec.layout import N_CTX, token_layout
+from jxl_tpu.codec.layout import N_CTX, padded_layout, token_layout
 from jxl_tpu.core.xyb import srgb_to_xyb
-from jxl_tpu.entropy.rans import (
-    quantize_histograms_t,
-    rans_encode,
+from jxl_tpu.entropy.grouped import (
+    GROUP,
+    pack_mantissa_grouped,
+    rans_encode_grouped,
 )
+from jxl_tpu.entropy.rans import quantize_histograms_t
 from jxl_tpu.entropy.tokens import (
     ALPHABET,
     byte_capacity,
-    pack_bytes,
     tokenize,
     zigzag_map,
 )
@@ -45,6 +48,7 @@ from jxl_tpu.strategy.acs import search_acs
 from jxl_tpu.transforms.dct import permute_last
 from jxl_tpu.transforms.adaptive import qf_multiplier, quant_field
 from jxl_tpu.transforms.quant import dc_steps_t
+from jxl_tpu.utils.jax_setup import ready_get
 
 
 def image_to_blocks(planes: jnp.ndarray, hp: int, wp: int) -> jnp.ndarray:
@@ -156,7 +160,9 @@ def tokens_from_rgb(
             qf_idx.reshape(-1).astype(jnp.uint32),
             zigzag_map(jnp.concatenate(cfl_idx)),
             zigzag_map(dc_res.reshape(-1)),
-            zigzag_map(ac_zz.reshape(-1)),
+            # z-major ([3, 63, nb]): contexts form long contiguous runs,
+            # the property the grouped rANS layer requires (layout.py).
+            zigzag_map(ac_zz.transpose(0, 2, 1).reshape(-1)),
         ]
     )
     token, nbits, mant = tokenize(values)
@@ -180,9 +186,9 @@ _encode_stage1 = partial(
 
 
 def _packed_header_u32(lanes: int) -> int:
-    """u32 slots before the words section: sizes[2] + freq[N_CTX*ALPHABET] +
-    states[lanes]."""
-    return 2 + N_CTX * ALPHABET + lanes
+    """u32 slots before the words section: sizes[2] + per-group word and
+    mantissa counts[8+8] + freq[N_CTX*ALPHABET] + states[lanes]."""
+    return 18 + N_CTX * ALPHABET + lanes
 
 
 def _encode_full_core(
@@ -208,20 +214,42 @@ def _encode_full_core(
 
     Buffer layout (u32 slots):
       [0] n_words   [1] total mantissa bytes
-      [2 : 2+N_CTX*A]        quantized freq tables
+      [2:10]  per-group word counts   [10:18] per-group mantissa byte counts
+      [18 : 18+N_CTX*A]      quantized freq tables
       [.. : ..+lanes]        final rANS states
-      [HDR : HDR+ceil(nw/2)] words, 2 x u16 per slot (LE order)
-      [HDR+ceil(nw/2) : ..]  mantissa bytes, 4 per slot (LE order) — placed
-                             at a DYNAMIC offset right after the used words.
+      [HDR : HDR+ceil(nw/2)] words, 2 x u16 per slot (LE; concatenated
+                             per-group consumption-order segments)
+      [HDR+ceil(nw/2) : ..]  mantissa bytes, 4 per slot (LE; concatenated
+                             per-group segments) — placed at a DYNAMIC
+                             offset right after the used words.
     """
-    lay = token_layout(height, width)
+    lay = padded_layout(height, width, lanes)
     token, nbits, mant, counts = tokens_from_rgb(
         rgb, distance, height=height, width=width, effort=effort, hook_a=hook_a, hook_b=hook_b
     )
-    freq, cum = quantize_histograms_t(counts)
-    ctx = jnp.asarray(lay["ctx"])
-    words, n_words, states = rans_encode(token, ctx, freq, cum, lanes=lanes)
-    mant_arr, total_bytes = pack_bytes(nbits, mant, cap_bytes)
+    # Padding tokens are zeros in their run's context; add them to the
+    # histogram analytically (static per layout).
+    pad_counts = np.zeros((N_CTX, ALPHABET), np.int32)
+    for c, _dst, n_real, n_pad in lay["spans"]:
+        pad_counts[c, 0] += n_pad - n_real
+    freq, cum = quantize_histograms_t(counts + jnp.asarray(pad_counts))
+
+    n_padded = lay["n_padded"]
+    tokp = jnp.zeros((n_padded,), jnp.int32)
+    nbp = jnp.zeros((n_padded,), jnp.int32)
+    mantp = jnp.zeros((n_padded,), jnp.uint32)
+    src = 0
+    for _c, dst, n_real, _n_pad in lay["spans"]:
+        tokp = jax.lax.dynamic_update_slice(tokp, jax.lax.slice(token, (src,), (src + n_real,)), (dst,))
+        nbp = jax.lax.dynamic_update_slice(nbp, jax.lax.slice(nbits, (src,), (src + n_real,)), (dst,))
+        mantp = jax.lax.dynamic_update_slice(mantp, jax.lax.slice(mant, (src,), (src + n_real,)), (dst,))
+        src += n_real
+
+    step_ctx = jnp.asarray(lay["step_ctx"])
+    words, wcounts, states = rans_encode_grouped(tokp, step_ctx, freq, cum, lanes)
+    mant_arr, mcounts = pack_mantissa_grouped(nbp, mantp, lanes, cap_bytes)
+    n_words = jnp.sum(wcounts)
+    total_bytes = jnp.sum(mcounts)
 
     hdr = _packed_header_u32(lanes)
     w = words.astype(jnp.uint32)
@@ -234,11 +262,19 @@ def _encode_full_core(
         m = jnp.concatenate([m, jnp.zeros((pad4,), jnp.uint32)])
     m4 = m[0::4] | (m[1::4] << 8) | (m[2::4] << 16) | (m[3::4] << 24)
 
+    G = lanes // GROUP
+    counts8 = jnp.zeros((8,), jnp.uint32)
+    counts8 = jax.lax.dynamic_update_slice(counts8, wcounts.astype(jnp.uint32), (0,))
+    mcounts8 = jnp.zeros((8,), jnp.uint32)
+    mcounts8 = jax.lax.dynamic_update_slice(mcounts8, mcounts.astype(jnp.uint32), (0,))
+
     buf = jnp.zeros((hdr + w2.shape[0] + m4.shape[0],), jnp.uint32)
     buf = buf.at[0].set(n_words.astype(jnp.uint32))
     buf = buf.at[1].set(total_bytes.astype(jnp.uint32))
-    buf = jax.lax.dynamic_update_slice(buf, freq.reshape(-1).astype(jnp.uint32), (2,))
-    buf = jax.lax.dynamic_update_slice(buf, states.astype(jnp.uint32), (2 + N_CTX * ALPHABET,))
+    buf = jax.lax.dynamic_update_slice(buf, counts8, (2,))
+    buf = jax.lax.dynamic_update_slice(buf, mcounts8, (10,))
+    buf = jax.lax.dynamic_update_slice(buf, freq.reshape(-1).astype(jnp.uint32), (18,))
+    buf = jax.lax.dynamic_update_slice(buf, states.astype(jnp.uint32), (18 + N_CTX * ALPHABET,))
     buf = jax.lax.dynamic_update_slice(buf, w2, (hdr,))
     n_w2 = (n_words.astype(jnp.int32) + 1) // 2
     buf = jax.lax.dynamic_update_slice(buf, m4, (hdr + n_w2,))
@@ -249,6 +285,19 @@ _encode_full = partial(
     jax.jit,
     static_argnames=("height", "width", "effort", "hook_a", "hook_b", "lanes", "cap_bytes"),
 )(_encode_full_core)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("height", "width", "effort", "hook_a", "hook_b", "lanes", "cap_bytes", "first"),
+)
+def _encode_full_pref(rgb, distance, *, first: int, **kw):
+    """Encoder returning (speculative prefix, full buffer): the prefix is a
+    jit OUTPUT so the host can device_get it the moment it is ready —
+    slicing on the host would dispatch a separate op and re-enter the
+    tunnel's slow long-poll path."""
+    buf = _encode_full_core(rgb, distance, **kw)
+    return jax.lax.slice(buf, (0,), (min(first, buf.shape[0]),)), buf
 
 
 @partial(
@@ -275,33 +324,28 @@ def _parse_packed(got: np.ndarray, buf, lanes: int):
     hdr = _packed_header_u32(lanes)
     n_words = int(got[0])
     total_bytes = int(got[1])
+    G = lanes // GROUP
+    wcounts = got[2 : 2 + G].astype(np.uint32)
+    mcounts = got[10 : 10 + G].astype(np.uint32)
     n_w2 = (n_words + 1) // 2
     n_m4 = (total_bytes + 3) // 4
     need = hdr + n_w2 + n_m4
     if need > got.shape[0]:
-        tail = jax.device_get(jax.lax.slice(buf, (got.shape[0],), (need,)))
+        tail = ready_get(jax.lax.slice(buf, (got.shape[0],), (need,)))
         got = np.concatenate([got, tail])
-    freq = got[2 : 2 + N_CTX * ALPHABET].reshape(N_CTX, ALPHABET)
-    states = got[2 + N_CTX * ALPHABET : hdr]
+    freq = got[18 : 18 + N_CTX * ALPHABET].reshape(N_CTX, ALPHABET)
+    states = got[18 + N_CTX * ALPHABET : hdr]
     words_b = got[hdr : hdr + n_w2].astype("<u4").tobytes()[: 2 * n_words]
     mant_b = got[hdr + n_w2 : need].astype("<u4").tobytes()[:total_bytes]
-    return freq, states, words_b, mant_b
-
-
-@partial(jax.jit, static_argnames=("height", "width", "lanes", "cap_bytes"))
-def _encode_stage2(token, nbits, mant, freq, cum, *, height: int, width: int, lanes: int, cap_bytes: int):
-    lay = token_layout(height, width)
-    ctx = jnp.asarray(lay["ctx"])
-    words, lens, states = rans_encode(token, ctx, freq, cum, lanes=lanes)
-    mant_arr, total_bytes = pack_bytes(nbits, mant, cap_bytes)
-    return words, lens, states, mant_arr, total_bytes
+    return freq, states, words_b, mant_b, wcounts, mcounts
 
 
 def pick_lanes(n_tokens: int, max_lanes: int) -> int:
-    """Adapt rANS lane count to the stream size: each lane costs 8 header
-    bytes (len + state), so small images use fewer, longer streams."""
-    lanes = max_lanes
-    while lanes > 16 and n_tokens // lanes < 512:
+    """Adapt rANS lane count to the stream size: each lane costs 4 header
+    bytes (final state), so small images use fewer, longer streams. Floor
+    is one 128-lane group (the grouped coder's unit)."""
+    lanes = max(max_lanes, GROUP)
+    while lanes > GROUP and n_tokens // lanes < 512:
         lanes //= 2
     return lanes
 
@@ -314,37 +358,11 @@ def encode_image(rgb: np.ndarray, config: CodecConfig, orig_name: str = "") -> b
     lossy path maps it to its finest quantization instead (a true lossless
     mode is future work), keeping quantized values within token range.
     """
-    h, w = int(rgb.shape[0]), int(rgb.shape[1])
-    if config.distance < 0.05:
-        config = replace(config, distance=0.05)
-    lay = token_layout(h, w)
-
-    cap = byte_capacity(lay["n_tokens"])
-    lanes = pick_lanes(lay["n_tokens"], config.lanes)
-
-    buf = _encode_full(
-        jnp.asarray(rgb),
-        jnp.float32(config.distance),
-        height=h,
-        width=w,
-        effort=int(config.effort),
-        hook_a=config.strategy.hook_a,
-        hook_b=config.strategy.hook_b,
-        lanes=lanes,
-        cap_bytes=cap,
-    )
-    # ONE speculative device_get of the packed prefix (a second tail fetch
-    # only fires for streams denser than ~4 bpp).
-    first = min(_first_get_u32(lanes, h * w), buf.shape[0])
-    got = jax.device_get(jax.lax.slice(buf, (0,), (first,)))
-    freq_np, states_np, words_b, mant_b = _parse_packed(got, buf, lanes)
-    return _assemble_container(
-        h, w, config, orig_name, lanes, lay, freq_np, states_np, words_b, mant_b
-    )
+    return encode_image_async(rgb, config, orig_name)()
 
 
 def _assemble_container(
-    h, w, config, orig_name, lanes, lay, freq_np, states_np, words_b, mant_b
+    h, w, config, orig_name, lanes, lay, freq_np, states_np, words_b, mant_b, wcounts, mcounts
 ) -> bytes:
     header = JxtHeader(
         height=h,
@@ -365,6 +383,8 @@ def _assemble_container(
         states=states_np.astype(np.uint32),
         stream_words=words_b,
         mant_bytes=mant_b,
+        wcounts=np.asarray(wcounts, dtype=np.uint32),
+        mcounts=np.asarray(mcounts, dtype=np.uint32),
     )
     return write_container(stream)
 
@@ -380,9 +400,9 @@ def encode_image_grid(
     instead of 10 of each.
     """
     h, w = int(rgb.shape[0]), int(rgb.shape[1])
-    lay = token_layout(h, w)
-    cap = byte_capacity(lay["n_tokens"])
-    lanes = pick_lanes(lay["n_tokens"], config.lanes)
+    lanes = pick_lanes(token_layout(h, w)["n_tokens"], config.lanes)
+    lay = padded_layout(h, w, lanes)
+    cap = byte_capacity(lay["n_padded"])
     d_arr = jnp.asarray([max(float(d), 0.05) for d in distances], jnp.float32)
 
     bufs = _encode_grid(
@@ -398,17 +418,62 @@ def encode_image_grid(
     )
     # One batched speculative get over the whole grid row.
     first = min(_first_get_u32(lanes, h * w), bufs.shape[1])
-    got_all = jax.device_get(jax.lax.slice(bufs, (0, 0), (bufs.shape[0], first)))
+    got_all = ready_get(jax.lax.slice(bufs, (0, 0), (bufs.shape[0], first)))
 
     out = []
     for i, d in enumerate(distances):
         cfg_d = replace(config, distance=max(float(d), 0.05))
-        freq_np, states_np, words_b, mant_b = _parse_packed(got_all[i], bufs[i], lanes)
-        out.append(
-            _assemble_container(
-                h, w, cfg_d, orig_name, lanes, lay, freq_np, states_np, words_b, mant_b
-            )
-        )
+        pieces = _parse_packed(got_all[i], bufs[i], lanes)
+        out.append(_assemble_container(h, w, cfg_d, orig_name, lanes, lay, *pieces))
+    return out
+
+
+def encode_image_async(rgb: np.ndarray, config: CodecConfig, orig_name: str = ""):
+    """Dispatch an encode now; returns finalize() -> container bytes.
+
+    Lets callers pipeline many encodes: dispatch all, then finalize in
+    order — device compute for image i+1 overlaps the host-side fetch and
+    container assembly of image i (the sweep driver and bench use this;
+    per-call pipeline latency on the tunneled TPU is ~45 ms, fully hidden
+    at pipeline depth >= 2).
+    """
+    h, w = int(rgb.shape[0]), int(rgb.shape[1])
+    if config.distance < 0.05:
+        config = replace(config, distance=0.05)
+    lanes = pick_lanes(token_layout(h, w)["n_tokens"], config.lanes)
+    lay = padded_layout(h, w, lanes)
+    cap = byte_capacity(lay["n_padded"])
+    pref, buf = _encode_full_pref(
+        jnp.asarray(rgb),
+        jnp.float32(config.distance),
+        first=_first_get_u32(lanes, h * w),
+        height=h,
+        width=w,
+        effort=int(config.effort),
+        hook_a=config.strategy.hook_a,
+        hook_b=config.strategy.hook_b,
+        lanes=lanes,
+        cap_bytes=cap,
+    )
+
+    def finalize() -> bytes:
+        got = ready_get(pref)
+        pieces = _parse_packed(got, buf, lanes)
+        return _assemble_container(h, w, config, orig_name, lanes, lay, *pieces)
+
+    return finalize
+
+
+def encode_images(jobs, pipeline_depth: int = 4) -> list:
+    """Encode [(rgb, config, orig_name), ...] with a bounded dispatch
+    pipeline; returns container bytes in order."""
+    out = []
+    pending = []
+    for job in jobs:
+        pending.append(encode_image_async(*job))
+        if len(pending) >= pipeline_depth:
+            out.append(pending.pop(0)())
+    out.extend(fin() for fin in pending)
     return out
 
 

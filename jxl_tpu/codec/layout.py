@@ -11,7 +11,15 @@ Token stream order (flat index -> meaning):
   [nb, 2*nb)         quant-field multiplier indices ([nby, nbx], 0..15)
   [.., +2*ntiles)    chroma-from-luma factors, zigzag-mapped ([2, ty, tx])
   [.., +3*nb)        DC residual tokens, channel-major ([3, nby, nbx])
-  [.., end)          AC tokens, [3, nb, 63] in zigzag order (DC excluded)
+  [.., end)          AC tokens, [3, 63, nb]: zigzag-position-major so each
+                     context forms one long contiguous run (DC excluded)
+
+The z-major AC order makes the context id sequence a small list of long
+RUNS (15 of them). `padded_layout` additionally pads every run to a
+multiple of the rANS lane count K, so that each K-token scan step has a
+SINGLE static context: the decoder then streams one (freq, cum) table row
+per step instead of doing a per-token table gather — the key property the
+Pallas rANS kernel (entropy/pallas_rans.py) relies on.
 """
 
 from __future__ import annotations
@@ -56,19 +64,21 @@ def token_layout(height: int, width: int):
     n_ac = 3 * nb * 63
     n_tokens = n_acs + n_qf + n_cfl + n_dc + n_ac
 
-    acs_ctx = np.full(n_acs, CTX_ACS, dtype=np.int32)
-    qf_ctx = np.full(n_qf, CTX_QF, dtype=np.int32)
-    cfl_ctx = np.full(n_cfl, CTX_CFL, dtype=np.int32)
-    dc_ctx = np.repeat(np.arange(3, dtype=np.int32), nb)
-    band = ac_band_table()  # [63]
-    ac_ctx = (
-        3 + np.arange(3, dtype=np.int32)[:, None, None] * 3 + band[None, None, :]
-    )  # [3, 1, 63]
-    ac_ctx = np.broadcast_to(ac_ctx, (3, nb, 63)).reshape(-1).astype(np.int32)
-    ctx = np.concatenate([acs_ctx, qf_ctx, cfl_ctx, dc_ctx, ac_ctx])
+    band = ac_band_table()  # [63] band per zigzag position, z-major runs
+    # runs: (ctx, length) in stream order; AC bands are contiguous in the
+    # z-major layout: per channel, 3*nb + 12*nb + 48*nb tokens.
+    runs = [(CTX_ACS, n_acs), (CTX_QF, n_qf), (CTX_CFL, n_cfl)]
+    runs += [(c, nb) for c in range(3)]
+    for c in range(3):
+        for b in range(3):
+            runs.append((3 + c * 3 + b, int(np.sum(band == b)) * nb))
+    ctx = np.concatenate(
+        [np.full(n, r, dtype=np.int32) for r, n in runs]
+    )
     zz = zigzag_order(8, 8)  # [64] flat indices, zz[0] == 0 (DC)
 
     return {
+        "runs": runs,
         "hp": hp,
         "wp": wp,
         "nby": nby,
@@ -85,3 +95,38 @@ def token_layout(height: int, width: int):
         "ctx": ctx,
         "zigzag": zz,
     }
+
+
+@lru_cache(maxsize=None)
+def padded_layout(height: int, width: int, lanes: int):
+    """K-padded token layout for the grouped rANS coder.
+
+    Every context run is padded to a multiple of `lanes` with value-0
+    tokens (coded like any other symbol — sub-0.5%% size cost), so each
+    K-token scan step carries exactly ONE context. Returns:
+      n_padded      total padded tokens (= T * lanes)
+      T             scan steps
+      step_ctx      [T] int32 context id per step
+      ctx_padded    [n_padded] int32 per-token context ids
+      spans         list of (ctx, dst_start, n_real, n_run_padded) for
+                    scattering real values into the padded stream and
+                    slicing them back out
+    """
+    base = token_layout(height, width)
+    spans = []
+    dst = 0
+    step_ctx = []
+    for c, n in base["runs"]:
+        n_pad = -(-n // lanes) * lanes
+        spans.append((c, dst, n, n_pad))
+        step_ctx += [c] * (n_pad // lanes)
+        dst += n_pad
+    out = dict(base)
+    out["spans"] = spans
+    out["n_padded"] = dst
+    out["T"] = dst // lanes
+    out["step_ctx"] = np.asarray(step_ctx, dtype=np.int32)
+    out["ctx_padded"] = np.repeat(
+        np.asarray(step_ctx, dtype=np.int32), lanes
+    )
+    return out

@@ -8,6 +8,32 @@ with JXL_TPU_NO_CACHE=1.
 """
 
 import os
+import time
+
+
+def ready_wait(x, interval: float = 0.002):
+    """Block until a device array is ready by polling `is_ready()`.
+
+    On the tunneled TPU, `block_until_ready`/`device_get` issued while the
+    computation is still in flight hit a slow long-poll path (~100+ ms
+    penalty measured), while `is_ready()` costs ~0.4 us and a device_get of
+    READY data runs at the plain RTT. Polling turns every host sync into
+    compute-time + epsilon. Works on any pytree; returns its input.
+    """
+    import jax
+
+    leaves = [l for l in jax.tree_util.tree_leaves(x) if hasattr(l, "is_ready")]
+    for leaf in leaves:
+        while not leaf.is_ready():
+            time.sleep(interval)
+    return x
+
+
+def ready_get(x, interval: float = 0.002):
+    """device_get after a ready_wait poll (fast-path transfer)."""
+    import jax
+
+    return jax.device_get(ready_wait(x, interval))
 
 
 def configure_jax() -> None:
