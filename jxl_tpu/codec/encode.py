@@ -252,15 +252,18 @@ def _encode_full_core(
     total_bytes = jnp.sum(mcounts)
 
     hdr = _packed_header_u32(lanes)
-    w = words.astype(jnp.uint32)
+    # bitcast packing: strided-slice shift/or packing costs ~38 ms at this
+    # scale (layout-hostile); reshape+bitcast is ~5 ms and matches the
+    # host's little-endian "<u4" view exactly.
+    w = words
     if w.shape[0] % 2:
-        w = jnp.concatenate([w, jnp.zeros((1,), jnp.uint32)])
-    w2 = w[0::2] | (w[1::2] << 16)
-    m = mant_arr.astype(jnp.uint32)
+        w = jnp.concatenate([w, jnp.zeros((1,), jnp.uint16)])
+    w2 = jax.lax.bitcast_convert_type(w.reshape(-1, 2), jnp.uint32)
+    m = mant_arr.astype(jnp.uint8)
     pad4 = (-m.shape[0]) % 4
     if pad4:
-        m = jnp.concatenate([m, jnp.zeros((pad4,), jnp.uint32)])
-    m4 = m[0::4] | (m[1::4] << 8) | (m[2::4] << 16) | (m[3::4] << 24)
+        m = jnp.concatenate([m, jnp.zeros((pad4,), jnp.uint8)])
+    m4 = jax.lax.bitcast_convert_type(m.reshape(-1, 4), jnp.uint32)
 
     G = lanes // GROUP
     counts8 = jnp.zeros((8,), jnp.uint32)
