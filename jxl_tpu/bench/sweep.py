@@ -170,11 +170,28 @@ class SweepRunner:
                 if not todo:
                     continue
                 # one dispatch per (image, effort): the whole distance row of
-                # the grid is encoded as a vmapped batch (encode_image_grid)
+                # the grid is encoded as a vmapped batch (encode_image_grid);
+                # d=0.0 (true lossless, legacy grid) runs its own modular
+                # program outside the lossy vmap
                 t0 = time.perf_counter()
                 try:
                     cfg = CodecConfig(effort=int(e), strategy=strategy)
-                    datas = encode_image_grid(rgb, cfg, todo, orig_name=image_name)
+                    lossless_ds = [d for d in todo if d <= 0.0]
+                    lossy_ds = [d for d in todo if d > 0.0]
+                    datas_by_d = {}
+                    if lossy_ds:
+                        for d, blob in zip(
+                            lossy_ds,
+                            encode_image_grid(rgb, cfg, lossy_ds, orig_name=image_name),
+                        ):
+                            datas_by_d[d] = blob
+                    for d in lossless_ds:
+                        datas_by_d[d] = encode_image(
+                            rgb,
+                            CodecConfig(distance=0.0, effort=int(e), strategy=strategy),
+                            orig_name=image_name,
+                        )
+                    datas = [datas_by_d[d] for d in todo]
                 except Exception as exc:  # skip-on-failure (benchmark.rs:661-677)
                     print(
                         f"[sweep] grid encode failed for {stem} e{e}: {exc!r}; skipping"

@@ -12,7 +12,7 @@ Layout (all little-endian):
   f32     distance
   u8      effort
   u8      strategy             (Strategy enum value)
-  u8      flags                (bit0: EPF enabled)
+  u8      flags                (bit0: EPF enabled; bit1: lossless modular mode)
   u16     orig_name_len; bytes orig_name (utf-8)
   u16     lanes (K)
   u32     n_tokens
@@ -98,6 +98,11 @@ class JxtHeader:
     @property
     def epf(self) -> bool:
         return bool(self.flags & 1)
+
+    @property
+    def lossless(self) -> bool:
+        """Flag bit 1: d=0 modular mode (codec/lossless.py)."""
+        return bool(self.flags & 2)
 
     @property
     def strategy_name(self) -> str:

@@ -142,8 +142,8 @@ def _use_pallas() -> bool:
     return jax.devices()[0].platform != "cpu"
 
 
-@partial(jax.jit, static_argnames=("height", "width", "lanes", "epf", "capw", "capm", "pallas"))
-def _decode_packed(packed, distance, *, height, width, lanes, epf, capw, capm, pallas):
+@partial(jax.jit, static_argnames=("height", "width", "lanes", "epf", "capw", "capm", "pallas", "lossless"))
+def _decode_packed(packed, distance, *, height, width, lanes, epf, capw, capm, pallas, lossless=False):
     """Unpack the single uploaded u32 buffer and decode.
 
     Host->device layout (static offsets; capw/capm are power-of-two bucket
@@ -153,12 +153,16 @@ def _decode_packed(packed, distance, *, height, width, lanes, epf, capw, capm, p
       [.. : ..+G*capw] per-group rANS words, one u16 word per u32
       [.. : ..+G*capm] per-group mantissa bytes, one byte per u32
     """
-    from jxl_tpu.codec.layout import N_CTX, padded_layout
+    from jxl_tpu.codec.layout import N_CTX, lossless_layout, padded_layout
     from jxl_tpu.entropy.grouped import GROUP, decode_grouped, kernel_rows
     from jxl_tpu.entropy.pallas_rans import decode_grouped_pallas, rows_padded
     from jxl_tpu.entropy.tokens import ALPHABET
 
-    lay = padded_layout(height, width, lanes)
+    lay = (
+        lossless_layout(height, width, lanes)
+        if lossless
+        else padded_layout(height, width, lanes)
+    )
     T = lay["T"]
     G = lanes // GROUP
     nf = N_CTX * ALPHABET
@@ -184,6 +188,10 @@ def _decode_packed(packed, distance, *, height, width, lanes, epf, capw, capm, p
         for _c, dst, n_real, _n_pad in lay["spans"]
     ]
     values = jnp.concatenate(parts)
+    if lossless:
+        from jxl_tpu.codec.lossless import reconstruct_lossless
+
+        return reconstruct_lossless(values, height=height, width=width)
     return _reconstruct(values, distance, height=height, width=width, epf=epf)
 
 
@@ -293,6 +301,7 @@ def decode_stream_device(stream: JxtStream):
         capw=capw,
         capm=capm,
         pallas=_use_pallas(),
+        lossless=h.lossless,
     )
 
 

@@ -227,6 +227,13 @@ def _encode_full_core(
     token, nbits, mant, counts = tokens_from_rgb(
         rgb, distance, height=height, width=width, effort=effort, hook_a=hook_a, hook_b=hook_b
     )
+    return _entropy_and_pack(token, nbits, mant, counts, lay, lanes, cap_bytes)
+
+
+def _entropy_and_pack(token, nbits, mant, counts, lay, lanes: int, cap_bytes: int):
+    """Shared tail of every encoder mode (lossy VarDCT and lossless
+    modular): K-pad the token stream per the layout's spans, entropy-code
+    it with the grouped rANS, and pack the single output buffer."""
     # Padding tokens are zeros in their run's context; add them to the
     # histogram analytically (static per layout).
     pad_counts = np.zeros((N_CTX, ALPHABET), np.int32)
@@ -290,6 +297,23 @@ _encode_full = partial(
 )(_encode_full_core)
 
 
+def _encode_lossless_core(rgb, *, height: int, width: int, lanes: int, cap_bytes: int):
+    """Lossless (d=0) encoder: YCoCg-R + gradient residuals through the
+    same grouped entropy layer (codec/lossless.py)."""
+    from jxl_tpu.codec.layout import lossless_layout
+    from jxl_tpu.codec.lossless import lossless_tokens
+
+    lay = lossless_layout(height, width, lanes)
+    token, nbits, mant, counts = lossless_tokens(rgb, height=height, width=width)
+    return _entropy_and_pack(token, nbits, mant, counts, lay, lanes, cap_bytes)
+
+
+@partial(jax.jit, static_argnames=("height", "width", "lanes", "cap_bytes", "first"))
+def _encode_lossless_pref(rgb, *, first: int, **kw):
+    buf = _encode_lossless_core(rgb, **kw)
+    return jax.lax.slice(buf, (0,), (min(first, buf.shape[0]),)), buf
+
+
 @partial(
     jax.jit,
     static_argnames=("height", "width", "effort", "hook_a", "hook_b", "lanes", "cap_bytes", "first"),
@@ -314,11 +338,12 @@ def _encode_grid(rgb, distances, **kw):
     return jax.vmap(lambda d: _encode_full_core(rgb, d, **kw))(distances)
 
 
-def _first_get_u32(lanes: int, n_px: int) -> int:
+def _first_get_u32(lanes: int, n_px: int, lossless: bool = False) -> int:
     """Size (u32 slots) of the speculative first device_get: header + a
-    payload window covering ~4 bpp. Streams bigger than that (very low
-    distance) trigger one extra tail fetch."""
-    return _packed_header_u32(lanes) + n_px // 8 + 4096
+    payload window covering ~4 bpp lossy / ~14 bpp lossless. Bigger streams
+    trigger one extra tail fetch."""
+    bpp_u32 = n_px // 2 if lossless else n_px // 8
+    return _packed_header_u32(lanes) + bpp_u32 + 4096
 
 
 def _parse_packed(got: np.ndarray, buf, lanes: int):
@@ -356,10 +381,10 @@ def pick_lanes(n_tokens: int, max_lanes: int) -> int:
 def encode_image(rgb: np.ndarray, config: CodecConfig, orig_name: str = "") -> bytes:
     """Encode an RGB u8 [H, W, 3] image to JXT bytes.
 
-    distance is floored at 0.05: the legacy sweep grid includes d=0.0
-    (`old_test_jxl.py:16-27`, meaning lossless in cjxl terms); this codec's
-    lossy path maps it to its finest quantization instead (a true lossless
-    mode is future work), keeping quantized values within token range.
+    distance == 0 selects the TRUE LOSSLESS modular mode (exact integer
+    round trip, codec/lossless.py) — matching cjxl semantics for the legacy
+    grid's d=0.0 point (`old_test_jxl.py:16-27`). Lossy distances are
+    floored at 0.05 to keep quantized values within token range.
     """
     return encode_image_async(rgb, config, orig_name)()
 
@@ -378,7 +403,7 @@ def _assemble_container(
         n_tokens=lay["n_tokens"],
         n_ctx=N_CTX,
         alphabet=ALPHABET,
-        flags=1 if config.epf else 0,
+        flags=(1 if config.epf else 0) | (2 if config.distance <= 0.0 else 0),
     )
     stream = JxtStream(
         header=header,
@@ -441,23 +466,40 @@ def encode_image_async(rgb: np.ndarray, config: CodecConfig, orig_name: str = ""
     at pipeline depth >= 2).
     """
     h, w = int(rgb.shape[0]), int(rgb.shape[1])
-    if config.distance < 0.05:
+    lossless = config.distance <= 0.0
+    if not lossless and config.distance < 0.05:
         config = replace(config, distance=0.05)
-    lanes = pick_lanes(token_layout(h, w)["n_tokens"], config.lanes)
-    lay = padded_layout(h, w, lanes)
-    cap = byte_capacity(lay["n_padded"])
-    pref, buf = _encode_full_pref(
-        jnp.asarray(rgb),
-        jnp.float32(config.distance),
-        first=_first_get_u32(lanes, h * w),
-        height=h,
-        width=w,
-        effort=int(config.effort),
-        hook_a=config.strategy.hook_a,
-        hook_b=config.strategy.hook_b,
-        lanes=lanes,
-        cap_bytes=cap,
-    )
+    if lossless:
+        config = replace(config, distance=0.0, epf=False)
+        from jxl_tpu.codec.layout import lossless_layout
+
+        lanes = pick_lanes(3 * h * w, config.lanes)
+        lay = lossless_layout(h, w, lanes)
+        cap = byte_capacity(lay["n_padded"])
+        pref, buf = _encode_lossless_pref(
+            jnp.asarray(rgb),
+            first=_first_get_u32(lanes, h * w, lossless=True),
+            height=h,
+            width=w,
+            lanes=lanes,
+            cap_bytes=cap,
+        )
+    else:
+        lanes = pick_lanes(token_layout(h, w)["n_tokens"], config.lanes)
+        lay = padded_layout(h, w, lanes)
+        cap = byte_capacity(lay["n_padded"])
+        pref, buf = _encode_full_pref(
+            jnp.asarray(rgb),
+            jnp.float32(config.distance),
+            first=_first_get_u32(lanes, h * w),
+            height=h,
+            width=w,
+            effort=int(config.effort),
+            hook_a=config.strategy.hook_a,
+            hook_b=config.strategy.hook_b,
+            lanes=lanes,
+            cap_bytes=cap,
+        )
 
     def finalize() -> bytes:
         got = ready_get(pref)

@@ -97,6 +97,38 @@ def token_layout(height: int, width: int):
     }
 
 
+def _pad_runs(runs, lanes: int):
+    """Common span/step-context builder: pad every (ctx, n) run to a
+    multiple of `lanes` so each K-token scan step has a single context."""
+    spans = []
+    dst = 0
+    step_ctx = []
+    for c, n in runs:
+        n_pad = -(-n // lanes) * lanes
+        spans.append((c, dst, n, n_pad))
+        step_ctx += [c] * (n_pad // lanes)
+        dst += n_pad
+    return spans, dst, np.asarray(step_ctx, dtype=np.int32)
+
+
+@lru_cache(maxsize=None)
+def lossless_layout(height: int, width: int, lanes: int):
+    """Token layout for the lossless modular mode: three full-resolution
+    planes (Y, Co, Cg residuals), one context per channel."""
+    n = height * width
+    runs = [(c, n) for c in range(3)]
+    spans, dst, step_ctx = _pad_runs(runs, lanes)
+    return {
+        "runs": runs,
+        "spans": spans,
+        "n_tokens": 3 * n,
+        "n_padded": dst,
+        "T": dst // lanes,
+        "step_ctx": step_ctx,
+        "ctx": np.repeat(np.arange(3, dtype=np.int32), n),
+    }
+
+
 @lru_cache(maxsize=None)
 def padded_layout(height: int, width: int, lanes: int):
     """K-padded token layout for the grouped rANS coder.
@@ -113,20 +145,11 @@ def padded_layout(height: int, width: int, lanes: int):
                     slicing them back out
     """
     base = token_layout(height, width)
-    spans = []
-    dst = 0
-    step_ctx = []
-    for c, n in base["runs"]:
-        n_pad = -(-n // lanes) * lanes
-        spans.append((c, dst, n, n_pad))
-        step_ctx += [c] * (n_pad // lanes)
-        dst += n_pad
+    spans, dst, step_ctx = _pad_runs(base["runs"], lanes)
     out = dict(base)
     out["spans"] = spans
     out["n_padded"] = dst
     out["T"] = dst // lanes
-    out["step_ctx"] = np.asarray(step_ctx, dtype=np.int32)
-    out["ctx_padded"] = np.repeat(
-        np.asarray(step_ctx, dtype=np.int32), lanes
-    )
+    out["step_ctx"] = step_ctx
+    out["ctx_padded"] = np.repeat(step_ctx, lanes)
     return out
