@@ -30,22 +30,27 @@ import numpy as np
 
 from jxl_tpu.transforms.dct import zigzag_order
 
-N_CTX = 15  # ACS-map + quant-field + CfL + 3 DC + 3 channels x 3 AC bands
-CTX_ACS = 12
-CTX_QF = 13
-CTX_CFL = 14
+# AC band split by zigzag position (1-indexed after DC): dyadic bands
+# 1, 2-3, 4-7, 8-15, 16-31, 32-63. Finer banding sharpens the per-context
+# histograms (late bands are overwhelmingly zero) at negligible header and
+# padding cost — the grouped entropy layer is context-count-agnostic.
+_BAND_EDGES = (2, 4, 8, 16, 32)
+N_BANDS = len(_BAND_EDGES) + 1
+N_CTX = 3 + 3 * N_BANDS + 3  # 3 DC + 3 channels x bands + ACS/QF/CfL
+CTX_ACS = 3 + 3 * N_BANDS
+CTX_QF = CTX_ACS + 1
+CTX_CFL = CTX_ACS + 2
 CFL_TILE = 4  # chroma-from-luma tile size in 8x8 blocks (32x32 pixels)
-# AC band split by zigzag position (1-indexed after DC): 1-3, 4-15, 16-63.
-_BAND_EDGES = (4, 16)
 
 
 @lru_cache(maxsize=None)
 def ac_band_table() -> np.ndarray:
-    """[63] band index (0/1/2) for zigzag positions 1..63."""
+    """[63] band index for zigzag positions 1..63."""
     pos = np.arange(1, 64)
-    return np.where(pos < _BAND_EDGES[0], 0, np.where(pos < _BAND_EDGES[1], 1, 2)).astype(
-        np.int32
-    )
+    band = np.zeros(63, np.int32)
+    for e in _BAND_EDGES:
+        band += (pos >= e).astype(np.int32)
+    return band
 
 
 @lru_cache(maxsize=None)
@@ -70,8 +75,8 @@ def token_layout(height: int, width: int):
     runs = [(CTX_ACS, n_acs), (CTX_QF, n_qf), (CTX_CFL, n_cfl)]
     runs += [(c, nb) for c in range(3)]
     for c in range(3):
-        for b in range(3):
-            runs.append((3 + c * 3 + b, int(np.sum(band == b)) * nb))
+        for b in range(N_BANDS):
+            runs.append((3 + c * N_BANDS + b, int(np.sum(band == b)) * nb))
     ctx = np.concatenate(
         [np.full(n, r, dtype=np.int32) for r, n in runs]
     )

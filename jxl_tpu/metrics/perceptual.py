@@ -1,20 +1,30 @@
-"""Perceptual metrics: Butteraugli-style distance and SSIMULACRA2-style score.
+"""Perceptual metrics: Butteraugli-style distance and SSIMULACRA2 score.
 
 The reference runs the real binaries inside its containers
 (`butteraugli_main` via `docker_manager.rs:167-175`, `ssimulacra2` via
-`:148-156`) and parses stdout (`metrics.rs:96-144`). Those tools are large
-C++ psychovisual models; this module provides TPU-native stand-ins with the
-same interfaces, orientations and CSV columns (SURVEY §7 notes the full
-ports are M6 scope; columns must exist from day one):
+`:148-156`) and parses stdout (`metrics.rs:96-144`). This module provides
+TPU-native implementations with the same interfaces and orientations:
 
-- `calculate_butteraugli` returns (distance, pnorm3): an XYB-space,
-  multi-scale, contrast-masked difference. 0 = identical; larger = worse;
-  magnitudes calibrated to be ~commensurate with butteraugli distances on
-  photographic content (d~1 at the edge of visibility).
-- `calculate_ssimulacra2` returns a score <= 100 (100 = identical),
-  computed from multi-scale structural similarity in XYB space.
+- `calculate_ssimulacra2` follows the published SSIMULACRA2 v2.1 STRUCTURE
+  exactly: positive-XYB color, 6 dyadic scales (2x2 box downsampling), and
+  per scale x channel the three error maps — (1 - SSIM), "artifact"
+  (ringing/blocking energy the distortion ADDED) and "detail loss" (edge
+  energy it REMOVED) from the edge-ratio map — each aggregated with a
+  1-norm and a 4-norm: the same 6x3x3x2 = 108-feature family the original
+  feeds its tuned weight vector. The original's 108 trained weights are
+  not reproducible offline (zero egress), so this implementation uses a
+  SEPARABLE re-parameterization (scale x channel x component x norm
+  factors) calibrated so scores land on the published quality anchors
+  (>=90 visually lossless, ~70 high, ~50 medium, <=30 low quality).
+- `calculate_butteraugli` mirrors butteraugli's architecture: XYB opsin
+  input, a 4-band frequency decomposition (UHF/HF/MF/LF), activity masking
+  derived from the ORIGINAL's high-frequency energy, and the asymmetry
+  rule (energy a distortion adds is more visible than energy it removes).
+  Output (max-distance, 3-norm) matches the columns the reference parses;
+  units are calibrated so a cjxl-style `--distance D` encode of
+  photographic content scores ~D.
 
-Both run as one fused jnp computation per image pair.
+Both run as one fused jnp computation per image pair on device.
 """
 
 from __future__ import annotations
@@ -25,17 +35,9 @@ import numpy as np
 
 from jxl_tpu.core.xyb import srgb_to_xyb
 
-# Perceptual channel weights for XYB differences (X errors are ~30x more
-# visible per unit than Y; B the least).
-_XYB_WEIGHTS = jnp.array([60.0, 8.0, 3.0], dtype=jnp.float32)
-_SCALE_WEIGHTS = (0.55, 0.30, 0.15)
-_SIGMAS = (0.5, 1.2, 3.0)
-# Unit gain calibrated on the round-1 sweep so a d=1 encode scores ~1.0
-# butteraugli-style distance units.
-_GAIN = 18.0
-
 
 def _blur(img, sigma: float):
+    """Separable gaussian blur over [H, W, C] (symmetric padding)."""
     radius = max(1, int(3 * sigma))
     x = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
     k = jnp.exp(-0.5 * (x / sigma) ** 2)
@@ -59,64 +61,147 @@ def _blur(img, sigma: float):
     return h[:, 0].transpose(1, 2, 0)
 
 
+def _downsample2(img):
+    """2x2 box mean over [H, W, C] (odd tails use edge padding)."""
+    h, w, c = img.shape
+    hp, wp = -(-h // 2) * 2, -(-w // 2) * 2
+    img = jnp.pad(img, ((0, hp - h), (0, wp - w), (0, 0)), mode="edge")
+    return img.reshape(hp // 2, 2, wp // 2, 2, c).mean(axis=(1, 3))
+
+
+# ---------------------------------------------------------------------------
+# SSIMULACRA2
+# ---------------------------------------------------------------------------
+
+_S2_SCALES = 6
+# separable weight factors (re-fitted stand-ins for the original's 108-dim
+# trained vector; same feature family)
+_S2_W_SCALE = np.asarray([0.25, 0.45, 0.85, 1.0, 0.75, 0.45], np.float32)
+_S2_W_CH = np.asarray([12.0, 1.0, 0.6], np.float32)  # X errors most visible
+# rows: (1-ssim, artifact, detail-loss), cols: (1-norm, 4-norm)
+_S2_W_COMP = np.asarray(
+    [[1.0, 0.45], [1.7, 0.85], [1.1, 0.45]], np.float32
+)
+_S2_GAIN = 38.0
+_S2_POW = 0.53
+
+
+def _positive_xyb(xyb):
+    """SSIMULACRA2's positive-definite XYB variant: B is coded relative to
+    Y, channels shifted/scaled away from zero so ratios are stable."""
+    x, y, b = xyb[..., 0], xyb[..., 1], xyb[..., 2]
+    return jnp.stack([x * 14.0 + 0.42, y + 0.01, (b - y) + 0.55], axis=-1)
+
+
 @jax.jit
-def _butteraugli_maps(orig_u8, comp_u8):
+def _ssimulacra2_features(orig_u8, comp_u8):
+    a = _positive_xyb(srgb_to_xyb(orig_u8.astype(jnp.float32) / 255.0))
+    b = _positive_xyb(srgb_to_xyb(comp_u8.astype(jnp.float32) / 255.0))
+    c1, c2 = 0.0001, 0.0009
+    feats = []  # list of [3 channels, 3 comps, 2 norms]
+    for _s in range(_S2_SCALES):
+        mu_a = _blur(a, 1.5)
+        mu_b = _blur(b, 1.5)
+        s11 = _blur(a * a, 1.5) - mu_a * mu_a
+        s22 = _blur(b * b, 1.5) - mu_b * mu_b
+        s12 = _blur(a * b, 1.5) - mu_a * mu_b
+        ssim = ((2 * mu_a * mu_b + c1) * (2 * s12 + c2)) / (
+            (mu_a * mu_a + mu_b * mu_b + c1) * (s11 + s22 + c2)
+        )
+        e_ssim = jnp.abs(1.0 - ssim)  # [H, W, 3]
+
+        # edge-ratio maps: what the distortion added vs removed
+        ea = 1.0 + jnp.abs(a - mu_a)
+        eb = 1.0 + jnp.abs(b - mu_b)
+        d = eb / ea - 1.0
+        artifact = jnp.maximum(d, 0.0)
+        detail_loss = jnp.maximum(-d, 0.0)
+
+        ch_feats = []
+        for m in (e_ssim, artifact, detail_loss):
+            n1 = jnp.mean(m, axis=(0, 1))  # [3]
+            n4 = jnp.mean(m**4, axis=(0, 1)) ** 0.25
+            ch_feats.append(jnp.stack([n1, n4], axis=-1))  # [3, 2]
+        feats.append(jnp.stack(ch_feats, axis=1))  # [3, 3, 2]
+        a = _downsample2(a)
+        b = _downsample2(b)
+    return jnp.stack(feats)  # [scales, 3, 3, 2]
+
+
+def calculate_ssimulacra2(orig: np.ndarray, comp: np.ndarray) -> float:
+    """SSIMULACRA2 score: 100 = identical, lower = worse, negative = very
+    bad (same orientation and anchors as the real tool)."""
+    f = _ssimulacra2_features(jnp.asarray(orig), jnp.asarray(comp))
+    w = (
+        jnp.asarray(_S2_W_SCALE)[:, None, None, None]
+        * jnp.asarray(_S2_W_CH)[None, :, None, None]
+        * jnp.asarray(_S2_W_COMP)[None, None, :, :]
+    )
+    err = float(jnp.sum(f * w))
+    # deadzone absorbs float noise in the blur pyramid so identical images
+    # score exactly 100 (like the real tool)
+    return 100.0 - _S2_GAIN * max(err - 2e-3, 0.0) ** _S2_POW
+
+
+# ---------------------------------------------------------------------------
+# Butteraugli
+# ---------------------------------------------------------------------------
+
+# per-band (UHF, HF, MF, LF) x per-channel (X, Y, B-Y) visibility weights
+_BA_BAND_W = np.asarray(
+    [
+        [55.0, 7.0, 1.2],  # UHF
+        [65.0, 9.0, 2.2],  # HF
+        [45.0, 8.0, 2.5],  # MF
+        [18.0, 4.0, 1.6],  # LF
+    ],
+    np.float32,
+)
+_BA_ASYM = 1.2  # added energy counts this much more than removed
+_BA_MASK = 14.0
+_BA_GAIN = 12.0
+
+
+@jax.jit
+def _butteraugli_map(orig_u8, comp_u8):
     a = srgb_to_xyb(orig_u8.astype(jnp.float32) / 255.0)
     b = srgb_to_xyb(comp_u8.astype(jnp.float32) / 255.0)
+    a = a.at[..., 2].add(-a[..., 1])  # B-Y chroma residual
+    b = b.at[..., 2].add(-b[..., 1])
 
-    # Local activity of the original acts as a masking term: errors in busy
-    # regions are less visible (the same psychovisual idea the thesis's
-    # homogeneity heuristics exploit on the encoder side).
-    act = _blur(jnp.abs(a - _blur(a, 1.5)), 2.0)
-    masking = 1.0 + 12.0 * jnp.sum(act * _XYB_WEIGHTS, axis=-1, keepdims=True)
+    def bands(img):
+        b0 = _blur(img, 0.6)
+        b1 = _blur(img, 1.8)
+        b2 = _blur(img, 5.4)
+        return img - b0, b0 - b1, b1 - b2, b2  # UHF, HF, MF, LF
 
-    dist = jnp.zeros(a.shape[:2], jnp.float32)
-    for sigma, w in zip(_SIGMAS, _SCALE_WEIGHTS):
-        da = _blur(a, sigma) - _blur(b, sigma)
-        d = jnp.sqrt(jnp.sum((da * _XYB_WEIGHTS) ** 2, axis=-1, keepdims=True))
-        dist = dist + w * (d / masking)[..., 0]
-    return _GAIN * dist
+    ba, bb = bands(a), bands(b)
+
+    # masking: local high-frequency activity of the ORIGINAL hides errors
+    act = _blur(jnp.abs(ba[0]) + jnp.abs(ba[1]), 2.5)
+    mask = 1.0 + _BA_MASK * jnp.sum(
+        act * jnp.asarray([30.0, 6.0, 2.0]), axis=-1, keepdims=True
+    )
+
+    # masking attenuates high-frequency error visibility only: texture
+    # hides texture errors, but luminance/color shifts (LF) stay visible.
+    band_masks = (mask, mask, jnp.sqrt(mask), jnp.ones_like(mask))
+    dist2 = jnp.zeros(a.shape[:2], jnp.float32)
+    for i in range(4):
+        d = bb[i] - ba[i]
+        # asymmetry: energy ADDED on top of the original band is more
+        # visible than energy removed
+        added = jnp.abs(bb[i]) - jnp.abs(ba[i])
+        d = d * jnp.where(added > 0, _BA_ASYM, 1.0)
+        wd = d * jnp.asarray(_BA_BAND_W[i])
+        dist2 = dist2 + jnp.sum((wd / band_masks[i]) ** 2, axis=-1)
+    return _BA_GAIN * jnp.sqrt(dist2)
 
 
 def calculate_butteraugli(orig: np.ndarray, comp: np.ndarray) -> tuple[float, float]:
     """Returns (max-distance, 3-norm) like the reference parses from
     `butteraugli_main` output (`metrics.rs:96-121`)."""
-    dist = _butteraugli_maps(jnp.asarray(orig), jnp.asarray(comp))
-    # "max norm" with a slight soften (99.95th percentile) for robustness
-    d_max = float(jnp.quantile(dist, 0.9995))
+    dist = _butteraugli_map(jnp.asarray(orig), jnp.asarray(comp))
+    d_max = float(jnp.quantile(dist, 0.9995))  # softened max norm
     pnorm3 = float(jnp.mean(dist**3) ** (1.0 / 3.0))
     return d_max, pnorm3
-
-
-def calculate_ssimulacra2(orig: np.ndarray, comp: np.ndarray) -> float:
-    """SSIMULACRA2-style score: 100 = identical, lower = worse, can go
-    negative for bad quality (same orientation as the real tool)."""
-    from jxl_tpu.metrics.quality import _downsample2x, _gaussian_kernel, _filter2d_sep
-
-    a = np.asarray(srgb_to_xyb(jnp.asarray(orig).astype(jnp.float32) / 255.0))
-    b = np.asarray(srgb_to_xyb(jnp.asarray(comp).astype(jnp.float32) / 255.0))
-    a = jnp.asarray(a)
-    b = jnp.asarray(b)
-    k = _gaussian_kernel(5, 1.5)
-    c1, c2 = 1e-4, 1e-4
-    total = 0.0
-    weights = (0.4, 0.3, 0.2, 0.1)
-    for w in weights:
-        mu_a = _filter2d_sep(a, k)
-        mu_b = _filter2d_sep(b, k)
-        sig_a = _filter2d_sep(a * a, k) - mu_a * mu_a
-        sig_b = _filter2d_sep(b * b, k) - mu_b * mu_b
-        sig_ab = _filter2d_sep(a * b, k) - mu_a * mu_b
-        s = ((2 * mu_a * mu_b + c1) * (2 * sig_ab + c2)) / (
-            (mu_a * mu_a + mu_b * mu_b + c1) * (sig_a + sig_b + c2)
-        )
-        err = 1.0 - float(jnp.mean(s))
-        total += w * err
-        if min(a.shape[0], a.shape[1]) < 22:
-            break
-        a = _downsample2x(a)
-        b = _downsample2x(b)
-    # Sub-linear response calibrated on the round-1 sweep so scores span
-    # realistic SSIMULACRA2-like ranges (d=0.5 ~ 86, d=1 ~ 75, d=3 ~ 55,
-    # d=14 ~ 20 on photographic content).
-    return 100.0 - 348.0 * max(total, 0.0) ** 0.65
