@@ -37,18 +37,11 @@ from jxl_tpu.bench.csv_schema import (
     write_csv_header,
 )
 from jxl_tpu.codec.config import CodecConfig, Strategy
-from jxl_tpu.codec.decode import decode_bytes
+from jxl_tpu.codec.decode import decode_bytes_device
 from jxl_tpu.codec.encode import encode_image, encode_image_grid
 from jxl_tpu.core.io import read_image, read_image_metadata
-from jxl_tpu.metrics import (
-    calculate_butteraugli,
-    calculate_ms_ssim,
-    calculate_mse,
-    calculate_psnr,
-    calculate_ssim,
-    calculate_ssimulacra2,
-    file_size_ratio,
-)
+from jxl_tpu.metrics import file_size_ratio, metric_battery
+from jxl_tpu.utils.jax_setup import ready_wait
 
 # Reference sweep grids:
 # Rust harness (`benchmark.rs:637-638`)
@@ -198,18 +191,23 @@ class SweepRunner:
                     )
                     continue
                 encode_s = (time.perf_counter() - t0) / max(1, len(todo))
+                rgb_dev = None
                 for d, data in zip(todo, datas):
                     comp_name = f"{stem}-{d}-{e}.jxt"
                     t1 = time.perf_counter()
-                    out = decode_bytes(data)
+                    out = ready_wait(decode_bytes_device(data))
                     decode_s = time.perf_counter() - t1
 
                     if self.config.keep_artifacts:
                         with open(os.path.join(dirs["output"], comp_name), "wb") as f:
                             f.write(data)
 
+                    if rgb_dev is None:
+                        import jax.numpy as jnp
+
+                        rgb_dev = jnp.asarray(rgb)  # upload the original once
                     row = self._compare_to_orig(
-                        meta, comp_name, rgb, out, len(data), d, e
+                        meta, comp_name, rgb_dev, out, len(data), d, e
                     )
                     row_list = row.row()
                     append_rows(comparisons_csv, [row_list])
@@ -227,13 +225,13 @@ class SweepRunner:
     def _compare_to_orig(
         self, meta, comp_name, orig_rgb, comp_rgb, comp_size, d, e
     ) -> ComparisonResult:
-        """Metric battery per grid point (reference: `benchmark.rs:895-975`)."""
-        mse = calculate_mse(orig_rgb, comp_rgb)
-        psnr = calculate_psnr(orig_rgb, comp_rgb)
-        ssim = calculate_ssim(orig_rgb, comp_rgb)
-        ms_ssim = calculate_ms_ssim(orig_rgb, comp_rgb)
-        butteraugli, pnorm = calculate_butteraugli(orig_rgb, comp_rgb)
-        ssimulacra2 = calculate_ssimulacra2(orig_rgb, comp_rgb)
+        """Metric battery per grid point (reference: `benchmark.rs:895-975`),
+        computed device-resident in ONE fused program + scalar fetch
+        (metrics/battery.py) — decoded pixels never cross the tunnel."""
+        m = metric_battery(orig_rgb, comp_rgb)
+        mse, psnr, ssim, ms_ssim = m["mse"], m["psnr"], m["ssim"], m["ms_ssim"]
+        butteraugli, pnorm = m["butteraugli"], m["butteraugli_pnorm"]
+        ssimulacra2 = m["ssimulacra2"]
         raw = meta.raw_size
         return ComparisonResult(
             orig_image_name=meta.image_name,

@@ -66,6 +66,22 @@ def cmd_decode(args) -> int:
 
 
 def cmd_bench(args) -> int:
+    if getattr(args, "profile", None):
+        # jax.profiler trace of the whole sweep (view with xprof/tensorboard)
+        import jax
+
+        jax.profiler.start_trace(args.profile)
+    try:
+        return _cmd_bench_inner(args)
+    finally:
+        if getattr(args, "profile", None):
+            import jax
+
+            jax.profiler.stop_trace()
+            print(f"[bench] profiler trace written to {args.profile}")
+
+
+def _cmd_bench_inner(args) -> int:
     from jxl_tpu.bench.compare import compare_results
     from jxl_tpu.bench.plots import boxplot_size_percent, rd_curves
     from jxl_tpu.bench.sweep import (
@@ -162,6 +178,12 @@ def main(argv=None) -> int:
     pb.add_argument("--efforts", type=int, nargs="*", default=None)
     pb.add_argument("--compare-to", default=None, help="second strategy for A/B diff")
     pb.add_argument("--graph", action="store_true", help="write boxplots + RD curves")
+    pb.add_argument(
+        "--profile",
+        default=None,
+        metavar="DIR",
+        help="capture a jax.profiler trace of the sweep into DIR",
+    )
     _add_codec_args(pb)
     pb.set_defaults(fn=cmd_bench)
 

@@ -9,3 +9,4 @@ from jxl_tpu.metrics.perceptual import (  # noqa: F401
     calculate_butteraugli,
     calculate_ssimulacra2,
 )
+from jxl_tpu.metrics.battery import metric_battery  # noqa: F401
