@@ -157,18 +157,12 @@ def rans_encode_grouped(tokens, step_ctx, freq, cum, lanes: int):
     return out.astype(jnp.uint16), counts, states
 
 
-def pack_mantissa_grouped(nbits, mant, lanes: int, cap_bytes: int):
-    """Mantissa bytes in per-group consumption order.
-
-    nbits/mant: [T*K] (padded stream order). Returns (bytes_arr [cap_bytes]
-    uint32 holding one byte each — concatenated per-group segments,
-    counts [G] int32 bytes per group).
-    """
-    n = nbits.shape[0]
-    T = n // lanes
-    nbytes = ((nbits.astype(jnp.int32) + 7) // 8).reshape(T, lanes)
+def _pack_mantissa_direct(nbytes, m, lanes: int, cap_bytes: int):
+    """Reference path: 3 full-stream masked scatters (one per byte lane)."""
+    T = nbytes.shape[0] // lanes
+    nb = nbytes.reshape(T, lanes)
     G = lanes // GROUP
-    e = nbytes.reshape(T, G, GROUP)
+    e = nb.reshape(T, G, GROUP)
     rank = jnp.cumsum(e, axis=2) - e
     row_tot = jnp.sum(e, axis=2)
     row_off = jnp.cumsum(row_tot, axis=0) - row_tot
@@ -177,17 +171,76 @@ def pack_mantissa_grouped(nbits, mant, lanes: int, cap_bytes: int):
     g_ids = jnp.arange(lanes) // GROUP
     off = (row_off[:, :, None] + rank).reshape(T, lanes) + base[g_ids][None, :]
 
-    m = mant.reshape(T, lanes).astype(jnp.uint32)
-    nb = nbytes
+    m2 = m.reshape(T, lanes)
     out = jnp.zeros((cap_bytes,), jnp.uint32)
     for j in range(MAX_NBYTES):
         sel = j < nb
         idx = jnp.where(sel, off + j, cap_bytes)
-        byte = (m >> jnp.uint32(8 * j)) & jnp.uint32(0xFF)
+        byte = (m2 >> jnp.uint32(8 * j)) & jnp.uint32(0xFF)
         out = out.at[idx.reshape(-1)].set(
             byte.reshape(-1), mode="drop", unique_indices=True
         )
     return out, counts
+
+
+def pack_mantissa_grouped(nbits, mant, lanes: int, cap_bytes: int):
+    """Mantissa bytes in per-group consumption order.
+
+    nbits/mant: [T*K] (padded stream order). Returns (bytes_arr [cap_bytes]
+    uint32 holding one byte each — concatenated per-group segments,
+    counts [G] int32 bytes per group).
+
+    Fast path: only a few %% of tokens carry a mantissa at normal
+    distances, but a masked scatter pays per SOURCE element (~6 ms per
+    full-stream pass at 1.2M tokens on v5e). So: ONE full-stream scatter
+    compacts the bearing tokens per group (mant|nbytes packed in a single
+    u32), and the three byte passes then run at the compacted size. If a
+    group overflows the compaction bucket (very low distance), lax.cond
+    falls back to the direct 3-pass path.
+    """
+    n = nbits.shape[0]
+    T = n // lanes
+    G = lanes // GROUP
+    nbytes = (nbits.astype(jnp.int32) + 7) // 8
+    m = mant.astype(jnp.uint32)
+
+    capc = max(1024, (n // G) // 4)  # per-group compaction bucket (25%)
+    e = nbytes.reshape(T, G, GROUP)
+    bearing = (e > 0).astype(jnp.int32)
+    brank = jnp.cumsum(bearing, axis=2) - bearing  # within (step, group)
+    brow_tot = jnp.sum(bearing, axis=2)
+    brow_off = jnp.cumsum(brow_tot, axis=0) - brow_tot
+    bcount = brow_off[-1] + brow_tot[-1]  # [G] bearing tokens per group
+    tgt_in_g = brow_off[:, :, None] + brank  # [T, G, GROUP]
+    g_col = jnp.arange(G)[None, :, None]
+    tgt = jnp.where(
+        bearing > 0, g_col * capc + tgt_in_g, G * capc
+    ).reshape(-1)
+    payload = (m | (nbytes.astype(jnp.uint32) << 24)).reshape(-1)
+    comp = jnp.zeros((G * capc,), jnp.uint32).at[tgt].set(
+        payload, mode="drop", unique_indices=True
+    ).reshape(G, capc)
+
+    def fast(_):
+        nb_c = (comp >> 24).astype(jnp.int32)  # [G, capc]
+        m_c = comp & jnp.uint32(0xFFFFFF)
+        off_c = jnp.cumsum(nb_c, axis=1) - nb_c
+        counts = off_c[:, -1] + nb_c[:, -1]
+        base = jnp.cumsum(counts) - counts
+        out = jnp.zeros((cap_bytes,), jnp.uint32)
+        for j in range(MAX_NBYTES):
+            sel = j < nb_c
+            idx = jnp.where(sel, base[:, None] + off_c + j, cap_bytes)
+            byte = (m_c >> jnp.uint32(8 * j)) & jnp.uint32(0xFF)
+            out = out.at[idx.reshape(-1)].set(
+                byte.reshape(-1), mode="drop", unique_indices=True
+            )
+        return out, counts
+
+    def slow(_):
+        return _pack_mantissa_direct(nbytes, m, lanes, cap_bytes)
+
+    return jax.lax.cond(jnp.max(bcount) <= capc, fast, slow, operand=None)
 
 
 @partial(jax.jit, static_argnames=("T", "lanes"))
