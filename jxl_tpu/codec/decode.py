@@ -175,6 +175,10 @@ def _decode_packed(packed, distance, *, height, width, lanes, epf, capw, capm, p
         [jnp.zeros((N_CTX, 1), jnp.uint32), jnp.cumsum(freq, axis=1)[:, :-1]], axis=1
     )
     rows = kernel_rows(jnp.asarray(lay["step_ctx"]), freq, cum)
+    from jxl_tpu.entropy.pallas_rans import fits_vmem
+
+    if pallas and not fits_vmem(lanes, capw, capm):
+        pallas = False  # stream buffers exceed VMEM: XLA path streams HBM
     if pallas:
         values_p = decode_grouped_pallas(
             words_g, mant_g, states, rows_padded(rows, T), T=T, lanes=lanes

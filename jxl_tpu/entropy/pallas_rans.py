@@ -158,10 +158,10 @@ def decode_grouped_pallas(words_g, mant_g, states, rows, *, T: int, lanes: int, 
     Tp = rows.shape[0]
     assert Tp % SUBSTEPS == 0 and Tp >= T
 
-    wg8 = jnp.zeros((8, words_g.shape[1]), jnp.int32)
-    wg8 = jax.lax.dynamic_update_slice(wg8, words_g.astype(jnp.int32), (0, 0))
-    mg8 = jnp.zeros((8, mant_g.shape[1]), jnp.int32)
-    mg8 = jax.lax.dynamic_update_slice(mg8, mant_g.astype(jnp.int32), (0, 0))
+    # stream buffers keep their true G rows (full-array blocks are exempt
+    # from the 8-sublane tile rule); only the state tile is 8-padded
+    wg8 = words_g.astype(jnp.int32)
+    mg8 = mant_g.astype(jnp.int32)
     st8 = jnp.zeros((8, GROUP), jnp.uint32)
     st8 = jax.lax.dynamic_update_slice(
         st8, states.astype(jnp.uint32).reshape(G, GROUP), (0, 0)
@@ -187,6 +187,14 @@ def decode_grouped_pallas(words_g, mant_g, states, rows, *, T: int, lanes: int, 
         interpret=interpret,
     )(rows, wg8, mg8, st8)
     return out[:T, :G, :].reshape(T * lanes)
+
+
+def fits_vmem(lanes: int, capw: int, capm: int, budget_bytes: int = 10 << 20) -> bool:
+    """Whether the kernel's VMEM-resident stream buffers fit. Beyond this
+    (multi-10MP images at high quality) the caller should use the XLA
+    decoder, which streams from HBM."""
+    G = lanes // GROUP
+    return 4 * G * (capw + capm) <= budget_bytes
 
 
 def rows_padded(rows, T: int):
