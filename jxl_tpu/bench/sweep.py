@@ -40,8 +40,8 @@ from jxl_tpu.codec.config import CodecConfig, Strategy
 from jxl_tpu.codec.decode import decode_bytes_device
 from jxl_tpu.codec.encode import encode_image, encode_image_grid
 from jxl_tpu.core.io import read_image, read_image_metadata
-from jxl_tpu.metrics import file_size_ratio, metric_battery
-from jxl_tpu.utils.jax_setup import ready_wait
+from jxl_tpu.metrics import file_size_ratio
+from jxl_tpu.metrics.battery import metric_battery_async
 
 # Reference sweep grids:
 # Rust harness (`benchmark.rs:637-638`)
@@ -191,23 +191,32 @@ class SweepRunner:
                     )
                     continue
                 encode_s = (time.perf_counter() - t0) / max(1, len(todo))
-                rgb_dev = None
-                for d, data in zip(todo, datas):
-                    comp_name = f"{stem}-{d}-{e}.jxt"
-                    t1 = time.perf_counter()
-                    out = ready_wait(decode_bytes_device(data))
-                    decode_s = time.perf_counter() - t1
 
+                import jax.numpy as jnp
+
+                rgb_dev = jnp.asarray(rgb)  # upload the original once
+                # Pipeline the row (ROADMAP #11): dispatch every decode and
+                # metric battery back-to-back — device compute for point
+                # i+1 overlaps the scalar fetch of point i — then finalize
+                # in order. Both stages are single fused dispatches, so the
+                # only blocking call left is the per-point 7-scalar get.
+                t1 = time.perf_counter()
+                pending = []
+                for d, data in zip(todo, datas):
+                    out = decode_bytes_device(data)
+                    pending.append((d, data, metric_battery_async(rgb_dev, out)))
+                rows_meta = []
+                for d, data, fin in pending:
+                    comp_name = f"{stem}-{d}-{e}.jxt"
                     if self.config.keep_artifacts:
                         with open(os.path.join(dirs["output"], comp_name), "wb") as f:
                             f.write(data)
+                    rows_meta.append((d, data, comp_name, fin()))
+                decode_s = (time.perf_counter() - t1) / max(1, len(todo))
 
-                    if rgb_dev is None:
-                        import jax.numpy as jnp
-
-                        rgb_dev = jnp.asarray(rgb)  # upload the original once
+                for d, data, comp_name, m in rows_meta:
                     row = self._compare_to_orig(
-                        meta, comp_name, rgb_dev, out, len(data), d, e
+                        meta, comp_name, m, len(data), d, e
                     )
                     row_list = row.row()
                     append_rows(comparisons_csv, [row_list])
@@ -223,12 +232,12 @@ class SweepRunner:
         return all_rows
 
     def _compare_to_orig(
-        self, meta, comp_name, orig_rgb, comp_rgb, comp_size, d, e
+        self, meta, comp_name, m, comp_size, d, e
     ) -> ComparisonResult:
-        """Metric battery per grid point (reference: `benchmark.rs:895-975`),
-        computed device-resident in ONE fused program + scalar fetch
-        (metrics/battery.py) — decoded pixels never cross the tunnel."""
-        m = metric_battery(orig_rgb, comp_rgb)
+        """ComparisonResult row from a fetched metric battery dict
+        (reference: `benchmark.rs:895-975`). The battery itself runs
+        device-resident in ONE fused program (metrics/battery.py) — decoded
+        pixels never cross the tunnel."""
         mse, psnr, ssim, ms_ssim = m["mse"], m["psnr"], m["ssim"], m["ms_ssim"]
         butteraugli, pnorm = m["butteraugli"], m["butteraugli_pnorm"]
         ssimulacra2 = m["ssimulacra2"]

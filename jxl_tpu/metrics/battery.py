@@ -83,19 +83,34 @@ def _battery(orig_u8, comp_u8):
     return jnp.stack([mse, ssim, ms_ssim, ba_max, ba_p3, s2_err])
 
 
+def metric_battery_async(orig, comp):
+    """Dispatch the battery now; returns finalize() -> metrics dict.
+
+    Lets the sweep driver pipeline a whole grid row: dispatch every
+    decode + battery back-to-back (device work for point i+1 overlaps the
+    scalar fetch of point i), then finalize in order."""
+    vec = _battery(orig, comp)
+
+    def finalize() -> dict:
+        from jxl_tpu.utils.jax_setup import ready_get
+
+        v = ready_get(vec)
+        mse = float(v[0])
+        return {
+            "mse": mse,
+            "psnr": psnr_from_mse(mse),
+            "ssim": float(v[1]),
+            "ms_ssim": float(v[2]),
+            "butteraugli": float(v[3]),
+            "butteraugli_pnorm": float(v[4]),
+            "ssimulacra2": 100.0
+            - _S2_GAIN * max(float(v[5]) - 2e-3, 0.0) ** _S2_POW,
+        }
+
+    return finalize
+
+
 def metric_battery(orig, comp) -> dict:
     """All sweep metrics for one (orig, comp) pair; accepts host or device
     arrays. One dispatch, one scalar-vector fetch."""
-    from jxl_tpu.utils.jax_setup import ready_get
-
-    v = ready_get(_battery(orig, comp))
-    mse = float(v[0])
-    return {
-        "mse": mse,
-        "psnr": psnr_from_mse(mse),
-        "ssim": float(v[1]),
-        "ms_ssim": float(v[2]),
-        "butteraugli": float(v[3]),
-        "butteraugli_pnorm": float(v[4]),
-        "ssimulacra2": 100.0 - _S2_GAIN * max(float(v[5]) - 2e-3, 0.0) ** _S2_POW,
-    }
+    return metric_battery_async(orig, comp)()
