@@ -511,15 +511,37 @@ def encode_image_async(rgb: np.ndarray, config: CodecConfig, orig_name: str = ""
 
 def encode_images(jobs, pipeline_depth: int = 4) -> list:
     """Encode [(rgb, config, orig_name), ...] with a bounded dispatch
-    pipeline; returns container bytes in order."""
-    out = []
-    pending = []
-    for job in jobs:
-        pending.append(encode_image_async(*job))
-        if len(pending) >= pipeline_depth:
-            out.append(pending.pop(0)())
-    out.extend(fin() for fin in pending)
-    return out
+    pipeline; returns container bytes in order.
+
+    Finalize (ready-polled device_get + container assembly) runs on ONE
+    dedicated IO thread so it overlaps the main thread's uploads and
+    dispatches — without it the host alternates dispatch/fetch serially
+    and the ~25 ms tunnel fetch adds straight onto every image's wall
+    time. Set JXL_TPU_NO_THREAD_IO=1 to force the serial path."""
+    import os
+
+    if os.environ.get("JXL_TPU_NO_THREAD_IO"):
+        out = []
+        pending = []
+        for job in jobs:
+            pending.append(encode_image_async(*job))
+            if len(pending) >= pipeline_depth:
+                out.append(pending.pop(0)())
+        out.extend(fin() for fin in pending)
+        return out
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=1) as ex:
+        futs = []
+        for job in jobs:
+            fin = encode_image_async(*job)
+            futs.append(ex.submit(fin))
+            if len(futs) >= pipeline_depth:
+                # bound in-flight work: oldest must finish before the next
+                # dispatch goes out
+                futs[len(futs) - pipeline_depth].result()
+        return [f.result() for f in futs]
 
 
 def encode_file(in_path: str, out_path: str, config: CodecConfig) -> int:
