@@ -142,8 +142,7 @@ def _use_pallas() -> bool:
     return jax.devices()[0].platform != "cpu"
 
 
-@partial(jax.jit, static_argnames=("height", "width", "lanes", "epf", "capw", "capm", "pallas", "lossless"))
-def _decode_packed(packed, distance, *, height, width, lanes, epf, capw, capm, pallas, lossless=False):
+def _decode_packed_core(packed, distance, *, height, width, lanes, epf, capw, capm, pallas, lossless=False):
     """Unpack the single uploaded u32 buffer and decode.
 
     Host->device layout (static offsets; capw/capm are power-of-two bucket
@@ -197,6 +196,44 @@ def _decode_packed(packed, distance, *, height, width, lanes, epf, capw, capm, p
 
         return reconstruct_lossless(values, height=height, width=width)
     return _reconstruct(values, distance, height=height, width=width, epf=epf)
+
+
+_decode_packed = partial(
+    jax.jit,
+    static_argnames=("height", "width", "lanes", "epf", "capw", "capm", "pallas", "lossless"),
+)(_decode_packed_core)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("height", "width", "lanes", "epf", "capw", "capm", "pallas"),
+)
+def _decode_packed_grid(packed_b, distances, *, height, width, lanes, epf, capw, capm, pallas):
+    """Decode a whole RD-sweep row in ONE dispatch (ROADMAP #3).
+
+    packed_b: [N, L] u32 (per-point packed buffers, shared capw/capm
+    buckets); distances: [N] f32. lax.map (not vmap) keeps the Pallas
+    kernel's sequential-grid + persistent-scratch contract intact: the N
+    decodes run device-sequentially inside one compiled program, so a
+    10-point row costs one kernel launch + one upload instead of 10 of
+    each. Lossy only — d=0 points run their own modular program."""
+
+    def one(args):
+        p, d = args
+        return _decode_packed_core(
+            p,
+            d,
+            height=height,
+            width=width,
+            lanes=lanes,
+            epf=epf,
+            capw=capw,
+            capm=capm,
+            pallas=pallas,
+            lossless=False,
+        )
+
+    return jax.lax.map(one, (packed_b, distances))
 
 
 def _reconstruct(values, distance, *, height, width, epf=True):
