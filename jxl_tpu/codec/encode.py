@@ -329,13 +329,16 @@ def _encode_full_pref(rgb, distance, *, first: int, **kw):
 
 @partial(
     jax.jit,
-    static_argnames=("height", "width", "effort", "hook_a", "hook_b", "lanes", "cap_bytes"),
+    static_argnames=("height", "width", "effort", "hook_a", "hook_b", "lanes", "cap_bytes", "first"),
 )
-def _encode_grid(rgb, distances, **kw):
+def _encode_grid(rgb, distances, *, first: int, **kw):
     """vmap of the full encoder over an RD sweep's distance axis — one
     dispatch covers the whole row of the reference grid (distance is a
-    traced scalar throughout the codec, so all lanes share one program)."""
-    return jax.vmap(lambda d: _encode_full_core(rgb, d, **kw))(distances)
+    traced scalar throughout the codec, so all lanes share one program).
+    Returns (speculative [N, first] prefix, full [N, L] buffers)."""
+    bufs = jax.vmap(lambda d: _encode_full_core(rgb, d, **kw))(distances)
+    pref = jax.lax.slice(bufs, (0, 0), (bufs.shape[0], min(first, bufs.shape[1])))
+    return pref, bufs
 
 
 def _first_get_u32(lanes: int, n_px: int, lossless: bool = False) -> int:
@@ -433,9 +436,10 @@ def encode_image_grid(
     cap = byte_capacity(lay["n_padded"])
     d_arr = jnp.asarray([max(float(d), 0.05) for d in distances], jnp.float32)
 
-    bufs = _encode_grid(
+    pref, bufs = _encode_grid(
         jnp.asarray(rgb),
         d_arr,
+        first=_first_get_u32(lanes, h * w),
         height=h,
         width=w,
         effort=int(config.effort),
@@ -444,9 +448,14 @@ def encode_image_grid(
         lanes=lanes,
         cap_bytes=cap,
     )
-    # One batched speculative get over the whole grid row.
-    first = min(_first_get_u32(lanes, h * w), bufs.shape[1])
-    got_all = ready_get(jax.lax.slice(bufs, (0, 0), (bufs.shape[0], first)))
+    # One batched speculative get over the whole grid row. The host copy is
+    # enqueued at dispatch time (copy_to_host_async BEFORE the compute is
+    # done); np.asarray then blocks directly on the copy — ~25 ms/img
+    # cheaper than polling readiness and fetching afterwards (the tunnel
+    # overlaps an enqueued D2H with compute, but a fetch issued after
+    # readiness pays the full transfer latency serially).
+    pref.copy_to_host_async()
+    got_all = np.asarray(pref)
 
     out = []
     for i, d in enumerate(distances):
@@ -501,8 +510,14 @@ def encode_image_async(rgb: np.ndarray, config: CodecConfig, orig_name: str = ""
             cap_bytes=cap,
         )
 
+    # Enqueue the D2H copy of the speculative prefix NOW, behind the encode
+    # compute: the tunnel overlaps an already-enqueued copy with compute,
+    # so finalize's np.asarray returns at device-cadence + epsilon
+    # (measured 26 ms/img vs 57 ms/img for poll-then-fetch at depth 4).
+    pref.copy_to_host_async()
+
     def finalize() -> bytes:
-        got = ready_get(pref)
+        got = np.asarray(pref)
         pieces = _parse_packed(got, buf, lanes)
         return _assemble_container(h, w, config, orig_name, lanes, lay, *pieces)
 
