@@ -13,8 +13,9 @@ point. Differences, by design (SURVEY §5, §7):
 - Run numbering: `benchmarks/<n>/` with n = max+1 (`benchmark.rs:280-302`).
 - Resumable: a per-(image, d, e) done-marker set lets an interrupted sweep
   continue (SURVEY §5.4 calls this out as missing in the reference).
-- Encode wall-time and MP/s are recorded (the reference never measures
-  timing — SURVEY §5.1).
+- Encode/decode/metric-battery wall time and MP/s are recorded per grid
+  point in `timings.csv` (the reference never measures timing — SURVEY
+  §5.1); the 17-col comparisons.csv stays byte-compatible.
 - Single-writer CSV appends (the reference's concurrent appends race,
   SURVEY §5.2).
 """
@@ -37,7 +38,7 @@ from jxl_tpu.bench.csv_schema import (
     write_csv_header,
 )
 from jxl_tpu.codec.config import CodecConfig, Strategy
-from jxl_tpu.codec.decode import decode_bytes_device
+from jxl_tpu.codec.decode import decode_bytes_grid_device
 from jxl_tpu.codec.encode import encode_image, encode_image_grid
 from jxl_tpu.core.io import read_image, read_image_metadata
 from jxl_tpu.metrics import file_size_ratio
@@ -50,6 +51,19 @@ RUST_EFFORTS = (5, 6, 7, 8, 9)
 # Legacy python pipeline (`old_test_jxl.py:16-27`) — includes d=0.0 and e=1..9
 LEGACY_DISTANCES = (0.0, 0.5, 1.0, 2.0, 3.0, 5.0, 10.0, 15.0, 25.0)
 LEGACY_EFFORTS = tuple(range(1, 10))
+
+# Per-grid-point timing rows (written to timings.csv, NOT the reference
+# 17-col schema: that file stays byte-compatible).
+TIMINGS_HEADER = [
+    "Image Name",
+    "Distance",
+    "Effort",
+    "Encode Time (s)",
+    "Decode Time (s)",
+    "Metrics Time (s)",
+    "Encode MP/s",
+    "Decode MP/s",
+]
 
 
 @dataclass
@@ -132,6 +146,15 @@ class SweepRunner:
             self.out_dirs(test_set, strategy)["results"], "comparisons.csv"
         )
 
+    def timings_csv(self, test_set: str, strategy: Strategy) -> str:
+        """Per-grid-point wall times land on disk in a SEPARATE file so the
+        17-column comparisons.csv stays byte-compatible with the reference
+        schema (`csv_writer.rs:125-143`) — the reference never measures
+        timing at all (SURVEY §5.1)."""
+        return os.path.join(
+            self.out_dirs(test_set, strategy)["results"], "timings.csv"
+        )
+
     # --- main loop ---------------------------------------------------------
     def run_test_set(self, test_set: str, strategy: Optional[Strategy] = None) -> list:
         strategy = strategy or self.config.strategy
@@ -145,8 +168,10 @@ class SweepRunner:
         dirs = self.out_dirs(test_set, strategy)
         results_csv = self.results_csv(test_set, strategy)
         comparisons_csv = self.comparisons_csv(test_set, strategy)
+        timings_csv = self.timings_csv(test_set, strategy)
         write_csv_header(results_csv, IMAGE_FILE_DATA_HEADER)
         write_csv_header(comparisons_csv, COMPARISON_RESULT_HEADER)
+        write_csv_header(timings_csv, TIMINGS_HEADER)
 
         all_rows = []
         for image_name in images:
@@ -194,17 +219,26 @@ class SweepRunner:
 
                 import jax.numpy as jnp
 
+                from jxl_tpu.utils.jax_setup import ready_wait
+
                 rgb_dev = jnp.asarray(rgb)  # upload the original once
-                # Pipeline the row (ROADMAP #11): dispatch every decode and
-                # metric battery back-to-back — device compute for point
-                # i+1 overlaps the scalar fetch of point i — then finalize
-                # in order. Both stages are single fused dispatches, so the
+                # The whole distance row decodes as ONE dispatch (lax.map
+                # over the shared-bucket packed buffers — decode.py's
+                # _decode_packed_grid); the metric battery then runs one
+                # fused program per point, dispatched back-to-back so the
                 # only blocking call left is the per-point 7-scalar get.
+                # Decode and metric-battery wall time are measured
+                # SEPARATELY (the reference measures neither).
                 t1 = time.perf_counter()
-                pending = []
-                for d, data in zip(todo, datas):
-                    out = decode_bytes_device(data)
-                    pending.append((d, data, metric_battery_async(rgb_dev, out)))
+                outs = decode_bytes_grid_device(datas)
+                ready_wait(outs)
+                decode_s = (time.perf_counter() - t1) / max(1, len(todo))
+
+                t2 = time.perf_counter()
+                pending = [
+                    (d, data, metric_battery_async(rgb_dev, out))
+                    for (d, data), out in zip(zip(todo, datas), outs)
+                ]
                 rows_meta = []
                 for d, data, fin in pending:
                     comp_name = f"{stem}-{d}-{e}.jxt"
@@ -212,7 +246,25 @@ class SweepRunner:
                         with open(os.path.join(dirs["output"], comp_name), "wb") as f:
                             f.write(data)
                     rows_meta.append((d, data, comp_name, fin()))
-                decode_s = (time.perf_counter() - t1) / max(1, len(todo))
+                metrics_s = (time.perf_counter() - t2) / max(1, len(todo))
+
+                mp = rgb.shape[0] * rgb.shape[1] / 1e6
+                append_rows(
+                    timings_csv,
+                    [
+                        [
+                            image_name,
+                            d,
+                            e,
+                            f"{encode_s:.6f}",
+                            f"{decode_s:.6f}",
+                            f"{metrics_s:.6f}",
+                            f"{mp / encode_s:.3f}",
+                            f"{mp / decode_s:.3f}",
+                        ]
+                        for d in todo
+                    ],
+                )
 
                 for d, data, comp_name, m in rows_meta:
                     row = self._compare_to_orig(
@@ -222,12 +274,11 @@ class SweepRunner:
                     append_rows(comparisons_csv, [row_list])
                     self._mark_done(test_set, strategy, image_name, d, e)
                     all_rows.append(row)
-                    mp = rgb.shape[0] * rgb.shape[1] / 1e6
                     print(
                         f"[sweep] {test_set}/{comp_name}: "
                         f"bpp={len(data) * 8 / (rgb.shape[0] * rgb.shape[1]):.3f} "
                         f"psnr={row.psnr:.2f} enc={mp / encode_s:.2f}MP/s "
-                        f"dec={mp / decode_s:.2f}MP/s"
+                        f"dec={mp / decode_s:.2f}MP/s metrics={metrics_s * 1e3:.1f}ms"
                     )
         return all_rows
 

@@ -306,31 +306,14 @@ def decode_stream_device(stream: JxtStream):
     downloads cost ~25 ms fixed + ~27 ms/MB, so the pixels stay on device —
     metrics and sweep consumers operate there and only fetch scalars).
     """
-    from jxl_tpu.codec.layout import N_CTX
-    from jxl_tpu.entropy.grouped import GROUP
     from jxl_tpu.entropy.pallas_rans import MANT_SLACK, WORD_SLACK
-    from jxl_tpu.entropy.tokens import ALPHABET
 
     h = stream.header
-    G = h.lanes // GROUP
-    words = np.frombuffer(stream.stream_words, dtype="<u2")
-    mant = np.frombuffer(stream.mant_bytes, dtype=np.uint8)
     wcounts = stream.wcounts.astype(np.int64)
     mcounts = stream.mcounts.astype(np.int64)
     capw = _pow2_bucket(int(wcounts.max()) + WORD_SLACK if wcounts.size else 1)
     capm = _pow2_bucket(int(mcounts.max()) + MANT_SLACK if mcounts.size else 1)
-
-    nf = N_CTX * ALPHABET
-    packed = np.zeros(nf + h.lanes + G * (capw + capm), dtype=np.uint32)
-    packed[:nf] = stream.freq.reshape(-1)
-    packed[nf : nf + h.lanes] = stream.states
-    wg = packed[nf + h.lanes : nf + h.lanes + G * capw].reshape(G, capw)
-    mg = packed[nf + h.lanes + G * capw :].reshape(G, capm)
-    wb = np.concatenate([[0], np.cumsum(wcounts)])
-    mb = np.concatenate([[0], np.cumsum(mcounts)])
-    for g in range(G):
-        wg[g, : wcounts[g]] = words[wb[g] : wb[g + 1]]
-        mg[g, : mcounts[g]] = mant[mb[g] : mb[g + 1]]
+    packed = _pack_stream_np(stream, capw, capm)
 
     return _decode_packed(
         jnp.asarray(packed),
@@ -344,6 +327,81 @@ def decode_stream_device(stream: JxtStream):
         pallas=_use_pallas(),
         lossless=h.lossless,
     )
+
+
+def _pack_stream_np(stream: JxtStream, capw: int, capm: int) -> np.ndarray:
+    """Build the single packed u32 upload buffer for one stream with the
+    given (shared) per-group word/mantissa bucket sizes."""
+    from jxl_tpu.codec.layout import N_CTX
+    from jxl_tpu.entropy.grouped import GROUP
+    from jxl_tpu.entropy.tokens import ALPHABET
+
+    h = stream.header
+    G = h.lanes // GROUP
+    words = np.frombuffer(stream.stream_words, dtype="<u2")
+    mant = np.frombuffer(stream.mant_bytes, dtype=np.uint8)
+    wcounts = stream.wcounts.astype(np.int64)
+    mcounts = stream.mcounts.astype(np.int64)
+    nf = N_CTX * ALPHABET
+    packed = np.zeros(nf + h.lanes + G * (capw + capm), dtype=np.uint32)
+    packed[:nf] = stream.freq.reshape(-1)
+    packed[nf : nf + h.lanes] = stream.states
+    wg = packed[nf + h.lanes : nf + h.lanes + G * capw].reshape(G, capw)
+    mg = packed[nf + h.lanes + G * capw :].reshape(G, capm)
+    wb = np.concatenate([[0], np.cumsum(wcounts)])
+    mb = np.concatenate([[0], np.cumsum(mcounts)])
+    for g in range(G):
+        wg[g, : wcounts[g]] = words[wb[g] : wb[g + 1]]
+        mg[g, : mcounts[g]] = mant[mb[g] : mb[g + 1]]
+    return packed
+
+
+def decode_bytes_grid_device(datas):
+    """Decode a whole RD-sweep row (list of container byte strings for the
+    SAME image geometry) in ONE dispatch via `_decode_packed_grid`.
+
+    Returns a list of device arrays (views into one [N, H, W, 3] result).
+    Falls back to per-stream decodes when the row mixes geometries, lane
+    counts, EPF settings, or contains lossless (d=0) points — those run
+    their own modular program.
+    """
+    from jxl_tpu.entropy.pallas_rans import MANT_SLACK, WORD_SLACK
+
+    streams = [read_container(b) for b in datas]
+    if len(streams) == 1:
+        return [decode_stream_device(streams[0])]
+    h0 = streams[0].header
+    uniform = all(
+        s.header.height == h0.height
+        and s.header.width == h0.width
+        and s.header.lanes == h0.lanes
+        and s.header.epf == h0.epf
+        and not s.header.lossless
+        for s in streams
+    )
+    if not uniform:
+        return [decode_stream_device(s) for s in streams]
+
+    capw = _pow2_bucket(
+        max(int(s.wcounts.max()) for s in streams) + WORD_SLACK
+    )
+    capm = _pow2_bucket(
+        max(int(s.mcounts.max()) for s in streams) + MANT_SLACK
+    )
+    packed = np.stack([_pack_stream_np(s, capw, capm) for s in streams])
+    distances = np.asarray([s.header.distance for s in streams], np.float32)
+    out = _decode_packed_grid(
+        jnp.asarray(packed),
+        jnp.asarray(distances),
+        height=h0.height,
+        width=h0.width,
+        lanes=h0.lanes,
+        epf=h0.epf,
+        capw=capw,
+        capm=capm,
+        pallas=_use_pallas(),
+    )
+    return [out[i] for i in range(len(streams))]
 
 
 def decode_stream(stream: JxtStream) -> np.ndarray:

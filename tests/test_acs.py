@@ -128,6 +128,7 @@ def test_codec_roundtrip_all_strategies(strategy):
     assert psnr > 32.0, (strategy, psnr)
 
 
+@pytest.mark.slow
 def test_effort_gates_block_sizes():
     img = make_test_image(64, 64, seed=4)
     sizes = {}

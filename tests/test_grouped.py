@@ -8,6 +8,7 @@ TPU-side kernel equivalence is exercised by every on-device decode).
 """
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 from jxl_tpu.entropy.grouped import (
     GROUP,
@@ -99,6 +100,7 @@ def test_grouped_roundtrip_wide_lanes():
     assert np.array_equal(out, vals)
 
 
+@pytest.mark.slow
 def test_pallas_kernel_interpret_matches():
     rng = np.random.default_rng(3)
     vals = rng.geometric(0.2, size=8 * 128).astype(np.uint32) - 1

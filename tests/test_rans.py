@@ -84,6 +84,7 @@ def test_rans_roundtrip_single_symbol():
     _roundtrip(tokens, ctx, 1, 37)
 
 
+@pytest.mark.slow
 def test_rans_roundtrip_tiny_and_odd_sizes():
     rng = np.random.default_rng(9)
     for n in (1, 2, 7, 8, 9, 255, 256, 257):

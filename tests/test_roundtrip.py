@@ -29,6 +29,7 @@ def test_roundtrip_d1_psnr():
     assert bpp < 6.0, bpp
 
 
+@pytest.mark.slow
 def test_distance_rate_quality_tradeoff():
     img = make_test_image(128, 128, seed=3)
     sizes, psnrs = [], []
@@ -63,6 +64,7 @@ def test_container_roundtrip_fields():
     assert out.shape == img.shape
 
 
+@pytest.mark.slow
 def test_nonmultiple_of_8_sizes():
     for h, w in [(17, 23), (8, 8), (9, 8), (100, 33)]:
         img = make_test_image(h, w, seed=h * 100 + w)

@@ -1,6 +1,7 @@
 """Multi-device tests on the virtual 8-device CPU mesh (conftest)."""
 
 import numpy as np
+import pytest
 
 import jax
 
@@ -46,6 +47,7 @@ def test_sharded_encode_matches_single_device():
     np.testing.assert_array_equal(np.asarray(counts_sharded), np.asarray(counts_1))
 
 
+@pytest.mark.slow
 def test_sharded_epf_matches_unsharded():
     """Explicit ppermute halo exchange must reproduce the single-device EPF
     bit-for-bit (boundary handling included)."""
