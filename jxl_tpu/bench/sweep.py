@@ -74,6 +74,20 @@ class SweepConfig:
     efforts: Sequence[int] = RUST_EFFORTS
     strategy: Strategy = Strategy.BASELINE
     keep_artifacts: bool = True  # write .jxt/.png outputs like the reference
+    # "data=N" or "data=N,space=M": encode batches of N images per mesh
+    # dispatch (the TPU-native analog of the reference's N-worker pool,
+    # config.rs:22) instead of one image row at a time. None = single-device.
+    mesh: Optional[str] = None
+
+
+def parse_mesh_spec(spec: str):
+    """"data=4,space=2" -> a jax Mesh (space defaults to 1)."""
+    from jxl_tpu.distributed.mesh import make_mesh
+
+    kv = dict(part.split("=") for part in spec.replace(" ", "").split(","))
+    data = int(kv.get("data", 0)) or None
+    space = int(kv.get("space", 1))
+    return make_mesh((data or 1) * space if data else None, data=data, space=space)
 
 
 def discover_test_sets(test_image_dir: str) -> list[str]:
@@ -173,7 +187,107 @@ class SweepRunner:
         write_csv_header(comparisons_csv, COMPARISON_RESULT_HEADER)
         write_csv_header(timings_csv, TIMINGS_HEADER)
 
+        ctx = {
+            "test_set": test_set,
+            "strategy": strategy,
+            "dirs": dirs,
+            "comparisons_csv": comparisons_csv,
+            "timings_csv": timings_csv,
+        }
+
         all_rows = []
+        if self.config.mesh:
+            # Mesh mode: batches of mesh-"data"-size images encode as ONE
+            # SPMD dispatch per effort (distributed.sharded.encode_grid_
+            # sharded) — the TPU-native worker pool (reference: 6 threads x
+            # 6 containers, config.rs:22). Containers are byte-identical to
+            # the single-device path, so decode/metrics/CSV are shared.
+            mesh = parse_mesh_spec(self.config.mesh)
+            metas, rgbs = {}, {}
+            for image_name in images:
+                img_path = os.path.join(ts_dir, image_name)
+                metas[image_name] = read_image_metadata(
+                    img_path, test_set=test_set, commit=strategy.name
+                )
+                append_rows(results_csv, [metas[image_name].csv_row()])
+                rgbs[image_name] = read_image(img_path)
+
+            from jxl_tpu.distributed.sharded import encode_grid_sharded
+
+            n_data = mesh.shape["data"]
+            by_geom: dict = {}
+            for name in images:
+                by_geom.setdefault(rgbs[name].shape, []).append(name)
+            for e in self.config.efforts:
+                cfg = CodecConfig(effort=int(e), strategy=strategy)
+                for geom_names in by_geom.values():
+                    for i in range(0, len(geom_names), n_data):
+                        batch_names = geom_names[i : i + n_data]
+                        # mesh mode keeps full rows together: a point is
+                        # re-encoded if any of its row is missing
+                        batch_names = [
+                            n
+                            for n in batch_names
+                            if any(
+                                (n, d, e) not in done
+                                for d in self.config.distances
+                            )
+                        ]
+                        if not batch_names:
+                            continue
+                        lossy_ds = [d for d in self.config.distances if d > 0.0]
+                        t0 = time.perf_counter()
+                        try:
+                            grids = encode_grid_sharded(
+                                [rgbs[n] for n in batch_names],
+                                cfg,
+                                lossy_ds,
+                                mesh=mesh,
+                                orig_names=batch_names,
+                            )
+                        except Exception as exc:  # skip-on-failure
+                            print(
+                                f"[sweep] mesh encode failed for batch "
+                                f"{batch_names} e{e}: {exc!r}; skipping"
+                            )
+                            continue
+                        n_pts = max(1, len(batch_names) * len(lossy_ds))
+                        encode_s = (time.perf_counter() - t0) / n_pts
+                        for name, datas in zip(batch_names, grids):
+                            todo, blobs = [], []
+                            for d, blob in zip(lossy_ds, datas):
+                                if (name, d, e) not in done:
+                                    todo.append(d)
+                                    blobs.append(blob)
+                            for d in self.config.distances:
+                                if d <= 0.0 and (name, d, e) not in done:
+                                    todo.insert(0, d)
+                                    blobs.insert(
+                                        0,
+                                        encode_image(
+                                            rgbs[name],
+                                            CodecConfig(
+                                                distance=0.0,
+                                                effort=int(e),
+                                                strategy=strategy,
+                                            ),
+                                            orig_name=name,
+                                        ),
+                                    )
+                            all_rows.extend(
+                                self._finish_row(
+                                    ctx,
+                                    name,
+                                    metas[name],
+                                    rgbs[name],
+                                    e,
+                                    todo,
+                                    blobs,
+                                    encode_s,
+                                )
+                            )
+            return all_rows
+
         for image_name in images:
             img_path = os.path.join(ts_dir, image_name)
             meta = read_image_metadata(img_path, test_set=test_set, commit=strategy.name)
@@ -216,71 +330,83 @@ class SweepRunner:
                     )
                     continue
                 encode_s = (time.perf_counter() - t0) / max(1, len(todo))
-
-                import jax.numpy as jnp
-
-                from jxl_tpu.utils.jax_setup import ready_wait
-
-                rgb_dev = jnp.asarray(rgb)  # upload the original once
-                # The whole distance row decodes as ONE dispatch (lax.map
-                # over the shared-bucket packed buffers — decode.py's
-                # _decode_packed_grid); the metric battery then runs one
-                # fused program per point, dispatched back-to-back so the
-                # only blocking call left is the per-point 7-scalar get.
-                # Decode and metric-battery wall time are measured
-                # SEPARATELY (the reference measures neither).
-                t1 = time.perf_counter()
-                outs = decode_bytes_grid_device(datas)
-                ready_wait(outs)
-                decode_s = (time.perf_counter() - t1) / max(1, len(todo))
-
-                t2 = time.perf_counter()
-                pending = [
-                    (d, data, metric_battery_async(rgb_dev, out))
-                    for (d, data), out in zip(zip(todo, datas), outs)
-                ]
-                rows_meta = []
-                for d, data, fin in pending:
-                    comp_name = f"{stem}-{d}-{e}.jxt"
-                    if self.config.keep_artifacts:
-                        with open(os.path.join(dirs["output"], comp_name), "wb") as f:
-                            f.write(data)
-                    rows_meta.append((d, data, comp_name, fin()))
-                metrics_s = (time.perf_counter() - t2) / max(1, len(todo))
-
-                mp = rgb.shape[0] * rgb.shape[1] / 1e6
-                append_rows(
-                    timings_csv,
-                    [
-                        [
-                            image_name,
-                            d,
-                            e,
-                            f"{encode_s:.6f}",
-                            f"{decode_s:.6f}",
-                            f"{metrics_s:.6f}",
-                            f"{mp / encode_s:.3f}",
-                            f"{mp / decode_s:.3f}",
-                        ]
-                        for d in todo
-                    ],
+                all_rows.extend(
+                    self._finish_row(ctx, image_name, meta, rgb, e, todo, datas, encode_s)
                 )
-
-                for d, data, comp_name, m in rows_meta:
-                    row = self._compare_to_orig(
-                        meta, comp_name, m, len(data), d, e
-                    )
-                    row_list = row.row()
-                    append_rows(comparisons_csv, [row_list])
-                    self._mark_done(test_set, strategy, image_name, d, e)
-                    all_rows.append(row)
-                    print(
-                        f"[sweep] {test_set}/{comp_name}: "
-                        f"bpp={len(data) * 8 / (rgb.shape[0] * rgb.shape[1]):.3f} "
-                        f"psnr={row.psnr:.2f} enc={mp / encode_s:.2f}MP/s "
-                        f"dec={mp / decode_s:.2f}MP/s metrics={metrics_s * 1e3:.1f}ms"
-                    )
         return all_rows
+
+    def _finish_row(self, ctx, image_name, meta, rgb, e, todo, datas, encode_s):
+        """Decode + metric battery + CSV rows for one (image, effort) row of
+        already-encoded containers. Shared by the single-device and mesh
+        paths (containers are byte-identical between them)."""
+        if not todo:
+            return []
+        test_set, strategy = ctx["test_set"], ctx["strategy"]
+        dirs = ctx["dirs"]
+        comparisons_csv, timings_csv = ctx["comparisons_csv"], ctx["timings_csv"]
+        stem = os.path.splitext(image_name)[0]
+
+        import jax.numpy as jnp
+
+        from jxl_tpu.utils.jax_setup import ready_wait
+
+        rgb_dev = jnp.asarray(rgb)  # upload the original once
+        # The whole distance row decodes as ONE dispatch (lax.map over the
+        # shared-bucket packed buffers — decode.py's _decode_packed_grid);
+        # the metric battery then runs one fused program per point,
+        # dispatched back-to-back so the only blocking call left is the
+        # per-point 7-scalar get. Decode and metric-battery wall time are
+        # measured SEPARATELY (the reference measures neither).
+        t1 = time.perf_counter()
+        outs = decode_bytes_grid_device(datas)
+        ready_wait(outs)
+        decode_s = (time.perf_counter() - t1) / max(1, len(todo))
+
+        t2 = time.perf_counter()
+        pending = [
+            (d, data, metric_battery_async(rgb_dev, out))
+            for (d, data), out in zip(zip(todo, datas), outs)
+        ]
+        rows_meta = []
+        for d, data, fin in pending:
+            comp_name = f"{stem}-{d}-{e}.jxt"
+            if self.config.keep_artifacts:
+                with open(os.path.join(dirs["output"], comp_name), "wb") as f:
+                    f.write(data)
+            rows_meta.append((d, data, comp_name, fin()))
+        metrics_s = (time.perf_counter() - t2) / max(1, len(todo))
+
+        mp = rgb.shape[0] * rgb.shape[1] / 1e6
+        append_rows(
+            timings_csv,
+            [
+                [
+                    image_name,
+                    d,
+                    e,
+                    f"{encode_s:.6f}",
+                    f"{decode_s:.6f}",
+                    f"{metrics_s:.6f}",
+                    f"{mp / encode_s:.3f}",
+                    f"{mp / decode_s:.3f}",
+                ]
+                for d in todo
+            ],
+        )
+
+        rows = []
+        for d, data, comp_name, m in rows_meta:
+            row = self._compare_to_orig(meta, comp_name, m, len(data), d, e)
+            append_rows(comparisons_csv, [row.row()])
+            self._mark_done(test_set, strategy, image_name, d, e)
+            rows.append(row)
+            print(
+                f"[sweep] {test_set}/{comp_name}: "
+                f"bpp={len(data) * 8 / (rgb.shape[0] * rgb.shape[1]):.3f} "
+                f"psnr={row.psnr:.2f} enc={mp / encode_s:.2f}MP/s "
+                f"dec={mp / decode_s:.2f}MP/s metrics={metrics_s * 1e3:.1f}ms"
+            )
+        return rows
 
     def _compare_to_orig(
         self, meta, comp_name, m, comp_size, d, e

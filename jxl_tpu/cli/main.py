@@ -117,6 +117,7 @@ def _cmd_bench_inner(args) -> int:
         distances=distances,
         efforts=efforts,
         strategy=Strategy[args.strategy],
+        mesh=args.mesh,
     )
     runner = SweepRunner(cfg)
     test_sets = discover_test_sets(args.test_image_dir)
@@ -178,6 +179,16 @@ def main(argv=None) -> int:
     pb.add_argument("--efforts", type=int, nargs="*", default=None)
     pb.add_argument("--compare-to", default=None, help="second strategy for A/B diff")
     pb.add_argument("--graph", action="store_true", help="write boxplots + RD curves")
+    pb.add_argument(
+        "--mesh",
+        default=None,
+        metavar="SPEC",
+        help=(
+            "encode image batches across a device mesh, e.g. 'data=4' or "
+            "'data=4,space=2' (images over data, width over space); the "
+            "TPU-native analog of the reference's 6-worker pool"
+        ),
+    )
     pb.add_argument(
         "--profile",
         default=None,

@@ -1,56 +1,303 @@
 """Sharded batch encode — the multi-chip execution path.
 
-The reference achieves corpus parallelism with 6 threads x 6 containers
-(`benchmark.rs:173-198`); here a batch of images is one jit-compiled program
-over a ("data", "space") mesh: images sharded over "data" (DP), each image's
-width sharded over "space" (the spatial/sequence-parallel axis). XLA inserts
-the collectives the sharding implies — e.g. the DC gradient-predictor
-cumsum and histogram reductions cross the "space" boundary (the reference's
-only cross-worker "communication" was CSV files on the host FS).
+The reference achieves corpus parallelism with 6 threads x 6 containers,
+each container emitting a real `.jxl` artifact that is copied back to the
+host (`benchmark.rs:81-104`, `:654-684`). The TPU-native equivalent here is
+stronger in kind: a batch of images is ONE jit-compiled SPMD program over a
+("data", "space") mesh — images sharded over "data" (corpus DP), each
+image's width sharded over "space" (the spatial/sequence-parallel axis) —
+and the program is the FULL encoder (`codec.encode._encode_full_core`):
+XYB, AC-strategy search, CfL, per-image histogram quantization, grouped
+rANS, mantissa packing, single packed output buffer. XLA inserts the
+collectives the shardings imply (histogram reductions and DC prefix sums
+cross the "space" boundary). The host parses each image's packed buffer
+into a real `.jxt` container — byte-identical to the single-device
+`encode_image` output (asserted by tests/test_sharding.py and the driver's
+`dryrun_multichip`).
 
-The dryrun path uses uniform rANS tables so the whole step stays on device
-(real encodes quantize per-image histograms on the host between stage 1 and
-stage 2 — see codec.encode).
+`sharded_epf` additionally demonstrates EXPLICIT halo exchange (ppermute
+ring collectives) for the decoder-side filter when one image's stripes live
+on different chips.
 """
 
 from __future__ import annotations
 
+from dataclasses import replace
 from functools import partial
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from jxl_tpu.codec.encode import tokens_from_rgb
-from jxl_tpu.codec.layout import N_CTX, token_layout
+from jxl_tpu.codec.config import CodecConfig
 from jxl_tpu.distributed.mesh import batch_sharding, make_mesh
-from jxl_tpu.entropy.rans import rans_encode
-from jxl_tpu.entropy.tokens import ALPHABET, byte_capacity, pack_bytes
 
 
-def uniform_tables():
-    """Flat rANS tables (valid, content-independent) for on-device-only runs."""
-    m = 1 << 12
-    base = m // ALPHABET
-    freq = np.full((N_CTX, ALPHABET), base, np.int64)
-    freq[:, -1] += m - base * ALPHABET
-    cum = np.concatenate(
-        [np.zeros((N_CTX, 1), np.int64), np.cumsum(freq, axis=1)[:, :-1]], axis=1
+def make_sharded_encode_step(
+    mesh=None,
+    *,
+    height: int,
+    width: int,
+    effort: int = 7,
+    hook_a: bool = False,
+    hook_b: bool = False,
+    lanes: int | None = None,
+    max_lanes: int | None = None,
+):
+    """Jitted full-pipeline batch encoder over a ("data", "space") mesh.
+
+    Returns (step, in_sharding, dist_sharding, meta) where
+    `step(batch [B, H, W, 3] u8, distances [B] f32) -> (prefix [B, first],
+    full [B, L])` — each row of `full` is the exact packed encoder buffer
+    `codec.encode._encode_full_core` produces for that image on one device;
+    `prefix` is the speculative first-fetch window (jit output, so the host
+    can enqueue its D2H copy behind the compute). meta = dict with the
+    lanes / layout / cap needed to parse the buffers.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from jxl_tpu.codec.encode import (
+        _encode_full_core,
+        _first_get_u32,
+        pick_lanes,
     )
-    return freq.astype(np.uint32), cum.astype(np.uint32)
+    from jxl_tpu.codec.layout import padded_layout, token_layout
+    from jxl_tpu.entropy.tokens import byte_capacity
 
+    if mesh is None:
+        mesh = make_mesh()
+    if lanes is None:
+        lanes = pick_lanes(
+            token_layout(height, width)["n_tokens"],
+            max_lanes if max_lanes is not None else CodecConfig().lanes,
+        )
+    lay = padded_layout(height, width, lanes)
+    cap = byte_capacity(lay["n_padded"])
+    first = _first_get_u32(lanes, height * width)
 
-def _single_image_step(rgb, freq, cum, *, height, width, distance, lanes):
-    token, nbits, mant, counts = tokens_from_rgb(
-        rgb, height=height, width=width, distance=distance
+    one = partial(
+        _encode_full_core,
+        height=height,
+        width=width,
+        effort=effort,
+        hook_a=hook_a,
+        hook_b=hook_b,
+        lanes=lanes,
+        cap_bytes=cap,
     )
-    lay = token_layout(height, width)
-    ctx = jnp.asarray(lay["ctx"])
-    _words, n_words, _states = rans_encode(token, ctx, freq, cum, lanes=lanes)
-    _mant_arr, total_mant = pack_bytes(nbits, mant, byte_capacity(lay["n_tokens"]))
-    # compressed payload bytes: rANS words + mantissa bytes (headers excluded)
-    nbytes = 2 * n_words + total_mant
-    return nbytes, counts
+
+    def batched(batch, distances):
+        bufs = jax.vmap(one)(batch, distances)
+        pref = jax.lax.slice(
+            bufs, (0, 0), (bufs.shape[0], min(first, bufs.shape[1]))
+        )
+        return pref, bufs
+
+    in_sharding = batch_sharding(mesh)
+    dist_sharding = NamedSharding(mesh, P("data"))
+    out_sharding = NamedSharding(mesh, P("data", None))
+    step = jax.jit(
+        batched,
+        in_shardings=(in_sharding, dist_sharding),
+        out_shardings=(out_sharding, out_sharding),
+    )
+    meta = {"lanes": lanes, "lay": lay, "cap_bytes": cap, "first": first}
+    return step, in_sharding, dist_sharding, meta
+
+
+def encode_batch_sharded(
+    images,
+    config: CodecConfig,
+    distances=None,
+    mesh=None,
+    orig_names=None,
+) -> list[bytes]:
+    """Encode a batch of same-geometry images across the mesh; returns one
+    `.jxt` container per image, byte-identical to `encode_image`'s output.
+
+    images: list of [H, W, 3] u8 arrays (or one [B, H, W, 3] array).
+    distances: per-image distance list (default: config.distance for all).
+    The batch is padded up to a multiple of the mesh "data" size with
+    repeats (dropped from the result); width must divide evenly over the
+    "space" axis — callers pick the mesh to match their geometry.
+    """
+    from jxl_tpu.codec.encode import _assemble_container, _parse_packed
+    from jxl_tpu.utils.jax_setup import ready_get
+
+    batch = np.stack([np.asarray(im) for im in images])
+    b, h, w = batch.shape[0], int(batch.shape[1]), int(batch.shape[2])
+    if mesh is None:
+        mesh = make_mesh()
+    n_data = mesh.shape["data"]
+    n_space = mesh.shape["space"]
+    assert w % n_space == 0, (
+        f"width {w} must divide over the space axis ({n_space})"
+    )
+    if distances is None:
+        distances = [config.distance] * b
+    distances = [max(float(d), 0.05) for d in distances]
+    assert len(distances) == b
+    if orig_names is None:
+        orig_names = [""] * b
+
+    pad = (-b) % n_data
+    if pad:
+        batch = np.concatenate([batch, batch[:1].repeat(pad, axis=0)])
+        distances = distances + [distances[0]] * pad
+
+    step, in_sharding, dist_sharding, meta = make_sharded_encode_step(
+        mesh,
+        height=h,
+        width=w,
+        effort=int(config.effort),
+        hook_a=config.strategy.hook_a,
+        hook_b=config.strategy.hook_b,
+        max_lanes=config.lanes,  # same pick_lanes rule as encode_image
+    )
+    lanes, lay = meta["lanes"], meta["lay"]
+    pref, bufs = step(
+        jax.device_put(batch, in_sharding),
+        jax.device_put(np.asarray(distances, np.float32), dist_sharding),
+    )
+    pref.copy_to_host_async()
+    got_all = np.asarray(pref)
+
+    out = []
+    for i in range(b):
+        cfg_d = replace(config, distance=distances[i])
+        pieces = _parse_packed(got_all[i], bufs[i], lanes)
+        out.append(
+            _assemble_container(h, w, cfg_d, orig_names[i], lanes, lay, *pieces)
+        )
+    return out
+
+
+def make_sharded_grid_step(
+    mesh,
+    *,
+    height: int,
+    width: int,
+    effort: int = 7,
+    hook_a: bool = False,
+    hook_b: bool = False,
+    max_lanes: int | None = None,
+):
+    """Like make_sharded_encode_step but over an (image batch x distance
+    grid): `step(batch [B, H, W, 3], distances [D]) -> (prefix, full
+    [B, D, L])`. Images shard over "data" / width over "space"; the
+    distance axis is vmapped inside each image's program (the RD sweep's
+    row). One dispatch covers B x D grid points."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from jxl_tpu.codec.encode import (
+        _encode_full_core,
+        _first_get_u32,
+        pick_lanes,
+    )
+    from jxl_tpu.codec.layout import padded_layout, token_layout
+    from jxl_tpu.entropy.tokens import byte_capacity
+
+    if max_lanes is None:
+        max_lanes = CodecConfig().lanes
+    lanes = pick_lanes(token_layout(height, width)["n_tokens"], max_lanes)
+    lay = padded_layout(height, width, lanes)
+    cap = byte_capacity(lay["n_padded"])
+    first = _first_get_u32(lanes, height * width)
+
+    one = partial(
+        _encode_full_core,
+        height=height,
+        width=width,
+        effort=effort,
+        hook_a=hook_a,
+        hook_b=hook_b,
+        lanes=lanes,
+        cap_bytes=cap,
+    )
+
+    def batched(batch, distances):
+        bufs = jax.vmap(lambda img: jax.vmap(lambda d: one(img, d))(distances))(
+            batch
+        )  # [B, D, L]
+        pref = jax.lax.slice(
+            bufs,
+            (0, 0, 0),
+            (bufs.shape[0], bufs.shape[1], min(first, bufs.shape[2])),
+        )
+        return pref, bufs
+
+    in_sharding = batch_sharding(mesh)
+    rep = NamedSharding(mesh, P())
+    out_sharding = NamedSharding(mesh, P("data", None, None))
+    step = jax.jit(
+        batched,
+        in_shardings=(in_sharding, rep),
+        out_shardings=(out_sharding, out_sharding),
+    )
+    meta = {"lanes": lanes, "lay": lay, "cap_bytes": cap, "first": first}
+    return step, in_sharding, rep, meta
+
+
+def encode_grid_sharded(
+    images,
+    config: CodecConfig,
+    distances,
+    mesh=None,
+    orig_names=None,
+) -> list[list[bytes]]:
+    """Encode a batch of same-geometry images at every distance of an RD
+    sweep row in ONE mesh dispatch. Returns containers[img][dist] —
+    byte-identical to per-image `encode_image_grid` output."""
+    from jxl_tpu.codec.encode import _assemble_container, _parse_packed
+    from jxl_tpu.utils.jax_setup import ready_get
+
+    batch = np.stack([np.asarray(im) for im in images])
+    b, h, w = batch.shape[0], int(batch.shape[1]), int(batch.shape[2])
+    if mesh is None:
+        mesh = make_mesh()
+    n_data = mesh.shape["data"]
+    n_space = mesh.shape["space"]
+    assert w % n_space == 0, (
+        f"width {w} must divide over the space axis ({n_space})"
+    )
+    dists = [max(float(d), 0.05) for d in distances]
+    if orig_names is None:
+        orig_names = [""] * b
+
+    pad = (-b) % n_data
+    if pad:
+        batch = np.concatenate([batch, batch[:1].repeat(pad, axis=0)])
+
+    step, in_sharding, rep, meta = make_sharded_grid_step(
+        mesh,
+        height=h,
+        width=w,
+        effort=int(config.effort),
+        hook_a=config.strategy.hook_a,
+        hook_b=config.strategy.hook_b,
+        max_lanes=config.lanes,
+    )
+    lanes, lay = meta["lanes"], meta["lay"]
+    pref, bufs = step(
+        jax.device_put(batch, in_sharding),
+        jax.device_put(np.asarray(dists, np.float32), rep),
+    )
+    pref.copy_to_host_async()
+    got_all = np.asarray(pref)
+
+    out = []
+    for i in range(b - pad if pad else b):
+        row = []
+        for j, d in enumerate(dists):
+            cfg_d = replace(config, distance=d)
+            pieces = _parse_packed(got_all[i, j], bufs[i, j], lanes)
+            row.append(
+                _assemble_container(
+                    h, w, cfg_d, orig_names[i], lanes, lay, *pieces
+                )
+            )
+        out.append(row)
+    return out
 
 
 def sharded_epf(planes, eff_mul, distance, mesh):
@@ -105,29 +352,3 @@ def sharded_epf(planes, eff_mul, distance, mesh):
         out_specs=P(None, None, "space"),
     )
     return fn(planes, sig)
-
-
-def make_sharded_encode_step(mesh=None, *, height, width, distance=1.0, lanes=64):
-    """Returns (jitted_step, input_sharding) for [B, H, W, 3] u8 batches.
-
-    jitted_step(batch) -> (nbytes [B], counts [B, C, A]).
-    """
-    if mesh is None:
-        mesh = make_mesh()
-    freq, cum = uniform_tables()
-    freq_j, cum_j = jnp.asarray(freq), jnp.asarray(cum)
-
-    step = jax.vmap(
-        partial(
-            _single_image_step,
-            freq=freq_j,
-            cum=cum_j,
-            height=height,
-            width=width,
-            distance=distance,
-            lanes=lanes,
-        )
-    )
-    in_sharding = batch_sharding(mesh)
-    jitted = jax.jit(step, in_shardings=(in_sharding,))
-    return jitted, in_sharding

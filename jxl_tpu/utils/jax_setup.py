@@ -62,6 +62,15 @@ def configure_jax() -> None:
         except Exception:
             pass
 
+    # Virtual device count for CPU mesh runs (e.g. `bench --mesh data=4`
+    # off-TPU): must be set before first backend use.
+    n_dev = os.environ.get("JXL_TPU_CPU_DEVICES")
+    if n_dev:
+        try:
+            jax.config.update("jax_num_cpu_devices", int(n_dev))
+        except Exception:
+            pass
+
     if os.environ.get("JXL_TPU_NO_CACHE"):
         return
 

@@ -26,25 +26,46 @@ def test_dryrun_multichip_8():
     ge.dryrun_multichip(8)
 
 
-def test_sharded_encode_matches_single_device():
-    """DPxSP sharded result must equal the unsharded computation."""
+def test_sharded_encode_bit_exact_containers():
+    """The DPxSP sharded batch encoder must emit real containers that are
+    BYTE-IDENTICAL to the single-device `encode_image` output and decode
+    back to the same pixels (the capability the reference's worker pool
+    has: each worker produces a real artifact, `benchmark.rs:654-684`)."""
+    from dataclasses import replace
+
+    from jxl_tpu.codec.config import CodecConfig
+    from jxl_tpu.codec.decode import decode_bytes
+    from jxl_tpu.codec.encode import encode_image
     from jxl_tpu.distributed.mesh import make_mesh
-    from jxl_tpu.distributed.sharded import make_sharded_encode_step
+    from jxl_tpu.distributed.sharded import encode_batch_sharded
 
-    h = w = 32
+    h = w = 64
     rng = np.random.default_rng(0)
-    batch = rng.integers(0, 256, (4, h, w, 3), dtype=np.uint8)
+    # smooth-ish content so every strategy/merge path gets exercised
+    base = rng.normal(0.5, 0.1, (6, h, w, 1))
+    batch = np.clip(
+        base + rng.normal(0, 0.05, (6, h, w, 3)), 0, 1
+    )
+    batch = (batch * 255).astype(np.uint8)
+    dists = [0.5, 1.0, 2.0, 1.0, 4.0, 1.5]
+    cfg = CodecConfig(distance=1.0, effort=7)
 
-    mesh = make_mesh(8, space=2)
-    step, shard = make_sharded_encode_step(mesh, height=h, width=w, lanes=8)
-    nbytes_sharded, counts_sharded = step(jax.device_put(batch, shard))
+    mesh = make_mesh(8, space=2)  # batch of 6 pads to 8 over data=4
+    got = encode_batch_sharded(list(batch), cfg, distances=dists, mesh=mesh)
+    assert len(got) == 6
+    for i in range(6):
+        want = encode_image(batch[i], replace(cfg, distance=dists[i]))
+        assert got[i] == want, f"image {i} container differs"
+        out = decode_bytes(got[i])
+        assert out.shape == (h, w, 3)
 
-    mesh1 = make_mesh(1)
-    step1, shard1 = make_sharded_encode_step(mesh1, height=h, width=w, lanes=8)
-    nbytes_1, counts_1 = step1(jax.device_put(batch, shard1))
 
-    np.testing.assert_array_equal(np.asarray(nbytes_sharded), np.asarray(nbytes_1))
-    np.testing.assert_array_equal(np.asarray(counts_sharded), np.asarray(counts_1))
+def test_init_multihost_single_process_noop():
+    """init_multihost must be safe to call unconditionally on one host."""
+    from jxl_tpu.distributed.mesh import init_multihost
+
+    init_multihost()  # no coordinator: logs + continues standalone
+    assert len(jax.devices()) == 8
 
 
 @pytest.mark.slow
