@@ -23,6 +23,24 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 BASELINE_MPS = 2.5  # nominal libjxl single-core encode+decode MP/s (see docstring)
 
+# TPU v5e (v5 lite) single-chip peaks for the roofline fraction: 197 TFLOP/s
+# bf16 MXU, 819 GB/s HBM. The codec is HBM-bound (elementwise/scan/scatter
+# heavy; matmuls are small), so the binding roof is bytes/BW.
+PEAK_FLOPS = 197e12
+PEAK_BW = 819e9
+
+
+def _cost_analysis(fn, *args, **kw):
+    """(flops, bytes accessed) from XLA's compiled cost model; 0s if the
+    backend doesn't report."""
+    try:
+        c = fn.lower(*args, **kw).compile().cost_analysis()
+        if isinstance(c, (list, tuple)):
+            c = c[0]
+        return float(c.get("flops", 0.0)), float(c.get("bytes accessed", 0.0))
+    except Exception:
+        return 0.0, 0.0
+
 
 def synth_kodak(h=512, w=768, seed=0):
     rng = np.random.default_rng(seed)
@@ -94,6 +112,61 @@ def main():
     out_dev = ready_wait(outs)[-1]
     t_dec = (time.perf_counter() - t0) / iters
 
+    # Roofline accounting (BASELINE.md: "MP/s at roofline"): XLA's compiled
+    # cost model gives FLOPs + HBM bytes for the fused encode and decode
+    # programs; the light-speed time is max(flops/peak, bytes/BW) on one
+    # v5e. Mosaic custom-call kernels are opaque to the cost model, so the
+    # reported fraction is an UPPER bound on how far from light speed the
+    # XLA-visible part runs.
+    import jax.numpy as jnp
+
+    from jxl_tpu.codec.container import read_container
+    from jxl_tpu.codec.decode import _pack_stream_np, _pow2_bucket, _decode_packed, _use_pallas
+    from jxl_tpu.codec.encode import (
+        _encode_full_pref,
+        _first_get_u32,
+        _use_pallas_enc,
+        pick_lanes,
+    )
+    from jxl_tpu.codec.layout import padded_layout, token_layout
+    from jxl_tpu.entropy.pallas_rans import MANT_SLACK, WORD_SLACK
+    from jxl_tpu.entropy.tokens import byte_capacity
+
+    lanes = pick_lanes(token_layout(h, w)["n_tokens"], cfg.lanes)
+    lay = padded_layout(h, w, lanes)
+    cap = byte_capacity(lay["n_padded"])
+    fe, be = _cost_analysis(
+        _encode_full_pref,
+        jnp.asarray(img),
+        jnp.float32(1.0),
+        first=_first_get_u32(lanes, h * w),
+        height=h,
+        width=w,
+        effort=7,
+        hook_a=False,
+        hook_b=False,
+        lanes=lanes,
+        cap_bytes=cap,
+        pallas_enc=_use_pallas_enc(lanes, lay["T"]),
+    )
+    stream = read_container(data)
+    capw = _pow2_bucket(int(stream.wcounts.max()) + WORD_SLACK)
+    capm = _pow2_bucket(int(stream.mcounts.max()) + MANT_SLACK)
+    fd, bd = _cost_analysis(
+        _decode_packed,
+        jnp.asarray(_pack_stream_np(stream, capw, capm)),
+        jnp.float32(1.0),
+        height=h,
+        width=w,
+        lanes=lanes,
+        epf=True,
+        capw=capw,
+        capm=capm,
+        pallas=_use_pallas(),
+    )
+    enc_min = max(fe / PEAK_FLOPS, be / PEAK_BW)
+    dec_min = max(fd / PEAK_FLOPS, bd / PEAK_BW)
+
     mps = mp / (t_enc + t_dec)
     print(
         json.dumps(
@@ -106,6 +179,18 @@ def main():
                 "decode_mps": round(mp / t_dec, 3),
                 "psnr_db": round(psnr, 2),
                 "bpp": round(bpp, 4),
+                "roofline": {
+                    "peak_flops": PEAK_FLOPS,
+                    "peak_hbm_bw": PEAK_BW,
+                    "encode_gflops": round(fe / 1e9, 2),
+                    "encode_hbm_mb": round(be / 1e6, 1),
+                    "encode_lightspeed_ms": round(enc_min * 1e3, 3),
+                    "encode_roofline_frac": round(enc_min / t_enc, 4) if t_enc else 0,
+                    "decode_gflops": round(fd / 1e9, 2),
+                    "decode_hbm_mb": round(bd / 1e6, 1),
+                    "decode_lightspeed_ms": round(dec_min * 1e3, 3),
+                    "decode_roofline_frac": round(dec_min / t_dec, 4) if t_dec else 0,
+                },
             }
         )
     )

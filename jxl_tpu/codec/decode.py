@@ -28,12 +28,10 @@ from jxl_tpu.strategy.acs import (
     ACS_DCT4X4,
     ACS_DCT4X8,
     ACS_DCT8X4,
-    ACS_DCT16X16,
-    ACS_DCT32X32,
+    MERGE_LADDER,
     N_STRATEGIES,
     effective_multiplier,
     reassemble_merged,
-    step_grid_variants,
     steps_field,
 )
 from jxl_tpu.transforms.adaptive import QF_LEVELS, qf_multiplier
@@ -135,11 +133,9 @@ def _pow2_bucket(n: int, floor: int = 1024) -> int:
 def _use_pallas() -> bool:
     """The Mosaic kernel needs real TPU hardware; CPU runs (tests, harness
     logic) use the bit-exact XLA reference decoder."""
-    import os
+    from jxl_tpu.utils.jax_setup import use_pallas
 
-    if os.environ.get("JXL_TPU_NO_PALLAS"):
-        return False
-    return jax.devices()[0].platform != "cpu"
+    return use_pallas()
 
 
 def _decode_packed_core(packed, distance, *, height, width, lanes, epf, capw, capm, pallas, lossless=False):
@@ -268,9 +264,8 @@ def _reconstruct(values, distance, *, height, width, epf=True):
     dc_step = dc_steps_t(distance)
     dc = dcq.astype(jnp.float32) * dc_step[:, None, None]
 
-    variants = step_grid_variants(distance)
     eff_mul = effective_multiplier(qf_mul, acs)
-    qsteps = steps_field(variants, acs, eff_mul)
+    qsteps = steps_field(distance, acs, eff_mul)
     storage = acq.astype(jnp.float32) * qsteps
 
     # Chroma-from-luma: add back the signaled per-tile luma prediction.
@@ -287,8 +282,8 @@ def _reconstruct(values, distance, *, height, width, epf=True):
 
     blocks = _reconstruct_sub8(storage, dc, acs)
     planes = blocks.transpose(0, 1, 3, 2, 4).reshape(3, nby * 8, nbx * 8)
-    planes = _overlay_merged(planes, storage, dc, acs, 16, ACS_DCT16X16)
-    planes = _overlay_merged(planes, storage, dc, acs, 32, ACS_DCT32X32)
+    for n, sid, _min_eff in MERGE_LADDER:
+        planes = _overlay_merged(planes, storage, dc, acs, n, sid)
     if epf:
         planes = epf_apply(planes, eff_mul, distance)
     planes = planes[:, :height, :width]

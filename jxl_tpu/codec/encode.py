@@ -202,6 +202,7 @@ def _encode_full_core(
     hook_b: bool,
     lanes: int,
     cap_bytes: int,
+    pallas_enc: bool = False,
 ):
     """The whole encoder as one traceable program: pixels -> ONE packed u32
     buffer whose used prefix holds everything the container needs.
@@ -227,13 +228,50 @@ def _encode_full_core(
     token, nbits, mant, counts = tokens_from_rgb(
         rgb, distance, height=height, width=width, effort=effort, hook_a=hook_a, hook_b=hook_b
     )
-    return _entropy_and_pack(token, nbits, mant, counts, lay, lanes, cap_bytes)
+    return _entropy_and_pack(
+        token, nbits, mant, counts, lay, lanes, cap_bytes, pallas_enc=pallas_enc
+    )
 
 
-def _entropy_and_pack(token, nbits, mant, counts, lay, lanes: int, cap_bytes: int):
+def _concat_segments(buckets, counts, cap: int, out_len: int):
+    """Back-filled per-group bucket segments -> one concatenated stream.
+
+    buckets: [G, cap] i32, group g's segment at [cap - counts[g], cap);
+    returns [out_len] u32 with segment g at [base_g, base_g + counts[g])
+    where base = exclusive cumsum of counts — the layout the XLA encoder
+    emits directly. Pure elementwise (G rolls + masked selects), no
+    scatter."""
+    G = buckets.shape[0]
+    counts = jnp.minimum(counts.astype(jnp.int32), cap)
+    base = jnp.cumsum(counts) - counts
+    pos = jnp.arange(out_len, dtype=jnp.int32)
+    out = jnp.zeros((out_len,), jnp.uint32)
+    for g in range(G):
+        seg = buckets[g].astype(jnp.uint32)
+        if cap < out_len:
+            seg = jnp.concatenate([seg, jnp.zeros((out_len - cap,), jnp.uint32)])
+        elif cap > out_len:
+            seg = jax.lax.slice(seg, (0,), (out_len,))
+        rolled = jnp.roll(seg, base[g] - (min(cap, out_len) - counts[g]))
+        sel = (pos >= base[g]) & (pos < base[g] + counts[g])
+        out = jnp.where(sel, rolled, out)
+    return out
+
+
+def _entropy_and_pack(
+    token, nbits, mant, counts, lay, lanes: int, cap_bytes: int, pallas_enc: bool = False
+):
     """Shared tail of every encoder mode (lossy VarDCT and lossless
     modular): K-pad the token stream per the layout's spans, entropy-code
-    it with the grouped rANS, and pack the single output buffer."""
+    it with the grouped rANS, and pack the single output buffer.
+
+    pallas_enc=True routes the entropy tail through the Mosaic encode
+    kernel (entropy/pallas_rans_enc.py): words + mantissa bytes emitted in
+    consumption order directly, replacing the XLA path's full-stream
+    scatters. The packed buffer is BIT-IDENTICAL between the two paths
+    (kernel differential tests + container round-trips pin this); a
+    mantissa-bucket overflow (pathological low distance) is detectable by
+    the host via mcounts > enc_caps()[1] and re-encoded via XLA."""
     # Padding tokens are zeros in their run's context; add them to the
     # histogram analytically (static per layout).
     pad_counts = np.zeros((N_CTX, ALPHABET), np.int32)
@@ -253,8 +291,24 @@ def _entropy_and_pack(token, nbits, mant, counts, lay, lanes: int, cap_bytes: in
         src += n_real
 
     step_ctx = jnp.asarray(lay["step_ctx"])
-    words, wcounts, states = rans_encode_grouped(tokp, step_ctx, freq, cum, lanes)
-    mant_arr, mcounts = pack_mantissa_grouped(nbp, mantp, lanes, cap_bytes)
+    if pallas_enc:
+        from jxl_tpu.entropy.grouped import kernel_rows
+        from jxl_tpu.entropy.pallas_rans import rows_padded
+        from jxl_tpu.entropy.pallas_rans_enc import enc_caps, encode_grouped_pallas
+
+        T = lay["T"]
+        rows = rows_padded(kernel_rows(step_ctx, freq, cum), T)
+        capw, capm = enc_caps(T, lanes)
+        wbuck, mbuck, states, wcounts, mcounts = encode_grouped_pallas(
+            tokp, mantp, rows, T=T, lanes=lanes, capw=capw, capm=capm
+        )
+        words = _concat_segments(wbuck, wcounts, capw, lay["n_padded"]).astype(
+            jnp.uint16
+        )
+        mant_arr = _concat_segments(mbuck, mcounts, capm, cap_bytes)
+    else:
+        words, wcounts, states = rans_encode_grouped(tokp, step_ctx, freq, cum, lanes)
+        mant_arr, mcounts = pack_mantissa_grouped(nbp, mantp, lanes, cap_bytes)
     n_words = jnp.sum(wcounts)
     total_bytes = jnp.sum(mcounts)
 
@@ -293,8 +347,36 @@ def _entropy_and_pack(token, nbits, mant, counts, lay, lanes: int, cap_bytes: in
 
 _encode_full = partial(
     jax.jit,
-    static_argnames=("height", "width", "effort", "hook_a", "hook_b", "lanes", "cap_bytes"),
+    static_argnames=(
+        "height", "width", "effort", "hook_a", "hook_b", "lanes", "cap_bytes", "pallas_enc",
+    ),
 )(_encode_full_core)
+
+
+def _use_pallas_enc(lanes: int, T: int) -> bool:
+    """Gate the Mosaic encode kernel: TPU only, VMEM-resident buckets must
+    fit (large images fall back to the XLA scatter path), opt-out via
+    JXL_TPU_NO_PALLAS_ENC=1."""
+    import os
+
+    from jxl_tpu.entropy.pallas_rans_enc import enc_caps, enc_fits_vmem
+    from jxl_tpu.utils.jax_setup import use_pallas
+
+    if os.environ.get("JXL_TPU_NO_PALLAS_ENC") or not use_pallas():
+        return False
+    capw, capm = enc_caps(T, lanes)
+    return enc_fits_vmem(lanes, T, capw, capm)
+
+
+def _mant_overflowed(got: np.ndarray, lanes: int, T: int) -> bool:
+    """Detect mantissa-bucket overflow in a fetched packed prefix (kernel
+    path only): any group's byte count above the static bucket size means
+    the stream is truncated garbage — the caller re-encodes via XLA."""
+    from jxl_tpu.entropy.pallas_rans_enc import enc_caps
+
+    G = lanes // GROUP
+    _capw, capm = enc_caps(T, lanes)
+    return bool((got[10 : 10 + G].astype(np.int64) > capm).any())
 
 
 def _encode_lossless_core(rgb, *, height: int, width: int, lanes: int, cap_bytes: int):
@@ -316,7 +398,9 @@ def _encode_lossless_pref(rgb, *, first: int, **kw):
 
 @partial(
     jax.jit,
-    static_argnames=("height", "width", "effort", "hook_a", "hook_b", "lanes", "cap_bytes", "first"),
+    static_argnames=(
+        "height", "width", "effort", "hook_a", "hook_b", "lanes", "cap_bytes", "first", "pallas_enc",
+    ),
 )
 def _encode_full_pref(rgb, distance, *, first: int, **kw):
     """Encoder returning (speculative prefix, full buffer): the prefix is a
@@ -329,14 +413,20 @@ def _encode_full_pref(rgb, distance, *, first: int, **kw):
 
 @partial(
     jax.jit,
-    static_argnames=("height", "width", "effort", "hook_a", "hook_b", "lanes", "cap_bytes", "first"),
+    static_argnames=(
+        "height", "width", "effort", "hook_a", "hook_b", "lanes", "cap_bytes", "first", "pallas_enc",
+    ),
 )
 def _encode_grid(rgb, distances, *, first: int, **kw):
-    """vmap of the full encoder over an RD sweep's distance axis — one
+    """The full encoder mapped over an RD sweep's distance axis — one
     dispatch covers the whole row of the reference grid (distance is a
     traced scalar throughout the codec, so all lanes share one program).
-    Returns (speculative [N, first] prefix, full [N, L] buffers)."""
-    bufs = jax.vmap(lambda d: _encode_full_core(rgb, d, **kw))(distances)
+    lax.map, not vmap: the points run device-sequentially inside one
+    compiled program (one kernel launch + one batched transfer per row),
+    which both keeps the Pallas encode kernel's sequential-grid contract
+    intact and compiles the body once. Returns (speculative [N, first]
+    prefix, full [N, L] buffers)."""
+    bufs = jax.lax.map(lambda d: _encode_full_core(rgb, d, **kw), distances)
     pref = jax.lax.slice(bufs, (0, 0), (bufs.shape[0], min(first, bufs.shape[1])))
     return pref, bufs
 
@@ -436,26 +526,35 @@ def encode_image_grid(
     cap = byte_capacity(lay["n_padded"])
     d_arr = jnp.asarray([max(float(d), 0.05) for d in distances], jnp.float32)
 
-    pref, bufs = _encode_grid(
-        jnp.asarray(rgb),
-        d_arr,
-        first=_first_get_u32(lanes, h * w),
-        height=h,
-        width=w,
-        effort=int(config.effort),
-        hook_a=config.strategy.hook_a,
-        hook_b=config.strategy.hook_b,
-        lanes=lanes,
-        cap_bytes=cap,
-    )
-    # One batched speculative get over the whole grid row. The host copy is
-    # enqueued at dispatch time (copy_to_host_async BEFORE the compute is
-    # done); np.asarray then blocks directly on the copy — ~25 ms/img
-    # cheaper than polling readiness and fetching afterwards (the tunnel
-    # overlaps an enqueued D2H with compute, but a fetch issued after
-    # readiness pays the full transfer latency serially).
-    pref.copy_to_host_async()
-    got_all = np.asarray(pref)
+    def dispatch(pallas_enc: bool):
+        pref, bufs = _encode_grid(
+            jnp.asarray(rgb),
+            d_arr,
+            first=_first_get_u32(lanes, h * w),
+            height=h,
+            width=w,
+            effort=int(config.effort),
+            hook_a=config.strategy.hook_a,
+            hook_b=config.strategy.hook_b,
+            lanes=lanes,
+            cap_bytes=cap,
+            pallas_enc=pallas_enc,
+        )
+        # One batched speculative get over the whole grid row. The host
+        # copy is enqueued at dispatch time (copy_to_host_async BEFORE the
+        # compute is done); np.asarray then blocks directly on the copy —
+        # ~25 ms/img cheaper than polling readiness and fetching afterwards
+        # (the tunnel overlaps an enqueued D2H with compute, but a fetch
+        # issued after readiness pays the full transfer latency serially).
+        pref.copy_to_host_async()
+        return np.asarray(pref), bufs
+
+    pallas_enc = _use_pallas_enc(lanes, lay["T"])
+    got_all, bufs = dispatch(pallas_enc)
+    if pallas_enc and any(
+        _mant_overflowed(got_all[i], lanes, lay["T"]) for i in range(len(distances))
+    ):
+        got_all, bufs = dispatch(False)  # rare: very low distance
 
     out = []
     for i, d in enumerate(distances):
@@ -497,23 +596,45 @@ def encode_image_async(rgb: np.ndarray, config: CodecConfig, orig_name: str = ""
         lanes = pick_lanes(token_layout(h, w)["n_tokens"], config.lanes)
         lay = padded_layout(h, w, lanes)
         cap = byte_capacity(lay["n_padded"])
-        pref, buf = _encode_full_pref(
-            jnp.asarray(rgb),
-            jnp.float32(config.distance),
-            first=_first_get_u32(lanes, h * w),
-            height=h,
-            width=w,
-            effort=int(config.effort),
-            hook_a=config.strategy.hook_a,
-            hook_b=config.strategy.hook_b,
-            lanes=lanes,
-            cap_bytes=cap,
-        )
+        pallas_enc = _use_pallas_enc(lanes, lay["T"])
 
-    # Enqueue the D2H copy of the speculative prefix NOW, behind the encode
-    # compute: the tunnel overlaps an already-enqueued copy with compute,
-    # so finalize's np.asarray returns at device-cadence + epsilon
-    # (measured 26 ms/img vs 57 ms/img for poll-then-fetch at depth 4).
+        def dispatch(use_kernel: bool):
+            p, b = _encode_full_pref(
+                jnp.asarray(rgb),
+                jnp.float32(config.distance),
+                first=_first_get_u32(lanes, h * w),
+                height=h,
+                width=w,
+                effort=int(config.effort),
+                hook_a=config.strategy.hook_a,
+                hook_b=config.strategy.hook_b,
+                lanes=lanes,
+                cap_bytes=cap,
+                pallas_enc=use_kernel,
+            )
+            # Enqueue the D2H copy of the speculative prefix NOW, behind
+            # the encode compute: the tunnel overlaps an already-enqueued
+            # copy with compute, so finalize's np.asarray returns at
+            # device-cadence + epsilon (measured 26 ms/img vs 57 ms/img
+            # for poll-then-fetch at depth 4).
+            p.copy_to_host_async()
+            return p, b
+
+        pref, buf = dispatch(pallas_enc)
+
+        def finalize() -> bytes:
+            got = np.asarray(pref)
+            b = buf
+            if pallas_enc and _mant_overflowed(got, lanes, lay["T"]):
+                p2, b = dispatch(False)  # rare: very low distance
+                got = np.asarray(p2)
+            pieces = _parse_packed(got, b, lanes)
+            return _assemble_container(h, w, config, orig_name, lanes, lay, *pieces)
+
+        return finalize
+
+    # lossless path (kernel not used: residual mantissa density overflows
+    # the VMEM byte budget; the XLA scatter path handles it)
     pref.copy_to_host_async()
 
     def finalize() -> bytes:

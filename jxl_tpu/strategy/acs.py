@@ -25,9 +25,18 @@ Strategies and their coefficient storage in the per-8x8-block [8, 8] grid:
 |    |          | aligned blocks      | C16[:2,:2] not coded (rebuilt from   |
 |    |          |                     | the DC plane via dct2 at decode)     |
 | 5  | DCT32X32 | one 32x32 over 4x4  | same scheme, C32[:4,:4] from DC      |
+| 6  | DCT64X64 | one 64x64 over 8x8  | same scheme, C64[:8,:8] from DC      |
+| 7  | DCT128X128 | 128x128 over 16x16| same scheme, C128[:16,:16] from DC   |
+| 8  | DCT256X256 | 256x256 over 32x32| same scheme (libjxl's largest        |
+|    |          |                     | transform = one full 256x256 group)  |
 
 All strategies keep the invariant: the DC-plane entry of every 8x8 block is
 its exact pixel mean * 8, so DC prediction/coding is strategy-independent.
+
+Step grids are NOT a flat variant table (256x256 alone would need 1024
+variant rows and a [nb, 1024] one-hot select): the per-block step field is
+assembled from one periodic tiling per size class (`steps_field`) — a
+handful of masked selects over tiny tables, XLA-fusible at any image size.
 """
 
 from __future__ import annotations
@@ -49,9 +58,24 @@ ACS_DCT8X4 = 2
 ACS_DCT4X8 = 3
 ACS_DCT16X16 = 4
 ACS_DCT32X32 = 5
-N_STRATEGIES = 6
+ACS_DCT64X64 = 6
+ACS_DCT128X128 = 7
+ACS_DCT256X256 = 8
+N_STRATEGIES = 9
 
 SQRT2 = float(np.sqrt(2.0))
+
+# The square-merge ladder: (pixel size, strategy id, minimum effort). The
+# effort gating mirrors cjxl's: bigger transforms cost more search, so they
+# arrive at higher --effort (reference grid sweeps e5..9, benchmark.rs:638).
+# 256x256 = one full libjxl group, the largest transform the spec has.
+MERGE_LADDER = (
+    (16, ACS_DCT16X16, 6),
+    (32, ACS_DCT32X32, 7),
+    (64, ACS_DCT64X64, 7),
+    (128, ACS_DCT128X128, 8),
+    (256, ACS_DCT256X256, 9),
+)
 
 # Entropy multipliers (cost handicap per strategy; <1 favors, >1 penalizes).
 # Splits must clearly win to be chosen; merges are slightly favored on
@@ -63,18 +87,18 @@ ENTROPY_MUL = {
     ACS_DCT4X8: 1.08,
     ACS_DCT16X16: 0.99,
     ACS_DCT32X32: 0.98,
+    ACS_DCT64X64: 0.97,
+    ACS_DCT128X128: 0.96,
+    ACS_DCT256X256: 0.95,
 }
 
 # Rate proxy constants: bits(q) ~ 2*log2(1+|q|) + NONZERO_BITS per nonzero.
 NONZERO_BITS = 1.1
 
 
-def step_grid_variants(distance) -> jnp.ndarray:
-    """[n_variants, 3, 8, 8] quant-step grids on the storage layout.
-
-    Variants: 0=DCT, 1=DCT4X4, 2=DCT8X4, 3=DCT4X8,
-    4..7   = DCT16X16 quadrant (qy, qx) in row-major order,
-    8..23  = DCT32X32 sub-position (qy, qx) row-major.
+def sub8_step_grids(distance) -> jnp.ndarray:
+    """[4, 3, 8, 8] quant-step grids on the 8x8 storage layout for the
+    sub-8 strategies (DCT, DCT4X4, DCT8X4, DCT4X8).
 
     No per-size step scaling: all transforms are orthonormal and cover the
     same number of coefficients per pixel area, so equal steps give equal
@@ -83,48 +107,26 @@ def step_grid_variants(distance) -> jnp.ndarray:
     frequency u/n, which is cycles/pixel, hence directly comparable across
     sizes.
 
-    `distance` may be a traced scalar: the tables are tiny (24*3*64) and
-    recomputing them per call keeps the whole codec distance-polymorphic
-    under one jit compilation.
+    `distance` may be a traced scalar: the tables are tiny and recomputing
+    them per call keeps the whole codec distance-polymorphic under one jit
+    compilation.
     """
     u = np.arange(8)
-    parts = []
-
     s8 = ac_steps_t(distance, 8, 8)
-    parts.append(s8[None])
-
-    s4 = ac_steps_t(distance, 4, 4)
-    parts.append(s4[:, u[:, None] % 4, u[None, :] % 4][None])
-
-    s84 = ac_steps_t(distance, 8, 4)
-    parts.append(s84[:, u[:, None], u[None, :] % 4][None])
-
-    s48 = ac_steps_t(distance, 4, 8)
-    parts.append(s48[:, u[:, None] % 4, u[None, :]][None])
-
-    s16 = ac_steps_t(distance, 16, 16)
-    for qy in range(2):
-        for qx in range(2):
-            parts.append(s16[:, qy * 8 + u[:, None], qx * 8 + u[None, :]][None])
-
-    s32 = ac_steps_t(distance, 32, 32)
-    for qy in range(4):
-        for qx in range(4):
-            parts.append(s32[:, qy * 8 + u[:, None], qx * 8 + u[None, :]][None])
-    return jnp.concatenate(parts, axis=0)
+    s4 = ac_steps_t(distance, 4, 4)[:, u[:, None] % 4, u[None, :] % 4]
+    s84 = ac_steps_t(distance, 8, 4)[:, u[:, None], u[None, :] % 4]
+    s48 = ac_steps_t(distance, 4, 8)[:, u[:, None] % 4, u[None, :]]
+    return jnp.stack([s8, s4, s84, s48])
 
 
-def variant_index_map(acs: jnp.ndarray) -> jnp.ndarray:
-    """Per-block index into step_grid_variants from the acs map [nby, nbx]."""
-    nby, nbx = acs.shape
-    by = jnp.arange(nby)[:, None]
-    bx = jnp.arange(nbx)[None, :]
-    idx16 = 4 + (by % 2) * 2 + (bx % 2)
-    idx32 = 8 + (by % 4) * 4 + (bx % 4)
-    out = acs  # ids 0..3 == variant ids 0..3
-    out = jnp.where(acs == ACS_DCT16X16, idx16, out)
-    out = jnp.where(acs == ACS_DCT32X32, idx32, out)
-    return out
+def merged_step_slots(distance, n: int) -> jnp.ndarray:
+    """[3, k, k, 8, 8] per-sub-block step grids of the n x n transform
+    (k = n//8): sub-block (ky, kx) holds the [ky*8:+8, kx*8:+8] tile of the
+    n x n step table — the same scheme candidates_merged uses for the
+    coefficients themselves."""
+    k = n // 8
+    s = ac_steps_t(distance, n, n)
+    return s.reshape(3, k, 8, k, 8).transpose(0, 1, 3, 2, 4)
 
 
 def _rate_bits(q: jnp.ndarray, axes) -> jnp.ndarray:
@@ -250,7 +252,7 @@ def search_acs(
       C++ — it bites on merge decisions.
     """
     nby, nbx = blocks.shape[1], blocks.shape[2]
-    variants = step_grid_variants(distance)
+    sub8_steps = sub8_step_grids(distance)
     if qf_mul is None:
         qf_mul = jnp.ones((nby, nbx), jnp.float32)
 
@@ -265,7 +267,7 @@ def search_acs(
     costs = {}
     qcands = {}
     for sid, storage in sub8.items():
-        steps = variants[sid][:, None, None] * qf_mul[None, :, :, None, None]
+        steps = sub8_steps[sid][:, None, None] * qf_mul[None, :, :, None, None]
         qc = jnp.round(storage / steps).astype(jnp.int32)
         qcands[sid] = qc
         c = _rate_bits(qc, axes=(0, -2, -1)) * ENTROPY_MUL[sid]  # [nby, nbx]
@@ -298,10 +300,7 @@ def search_acs(
         if gby == 0 or gbx == 0:
             return acs, cost_sel, None, None
         slots = candidates_merged(planes, n)  # [3, gby, gbx, k, k, 8, 8]
-        # per-slot steps: variant ids 4.. / 8.. laid out row-major over (qy,qx)
-        base = 4 if sid == ACS_DCT16X16 else 8
-        step_slots = variants[base : base + k * k].reshape(k, k, 3, 8, 8)
-        step_slots = step_slots.transpose(2, 0, 1, 3, 4)[:, None, None]  # [3,1,1,k,k,8,8]
+        step_slots = merged_step_slots(distance, n)[:, None, None]  # [3,1,1,k,k,8,8]
         gmul = group_min_multiplier(qf_mul, k)[: gby * k : k, : gbx * k : k]
         qslots = jnp.round(
             slots / (step_slots * gmul[None, :, :, None, None, None, None])
@@ -323,11 +322,12 @@ def search_acs(
         cost_sel = jnp.where(merge_full, jnp.pad(new_cost, ((0, pad_y), (0, pad_x))), cost_sel)
         return acs, cost_sel, slots, merge
 
-    r16 = m16 = r32 = m32 = None
-    if effort >= 6:
-        acs, cost_sel, r16, m16 = try_merge(acs, cost_sel, 16, ACS_DCT16X16)
-    if effort >= 7:
-        acs, cost_sel, r32, m32 = try_merge(acs, cost_sel, 32, ACS_DCT32X32)
+    merged = []  # (slots, merge mask, n, sid) per attempted ladder rung
+    for n, sid, min_eff in MERGE_LADDER:
+        if effort >= min_eff:
+            acs, cost_sel, slots, merge = try_merge(acs, cost_sel, n, sid)
+            if slots is not None:
+                merged.append((slots, merge, n, sid))
 
     # Assemble the selected RAW coefficient storage by per-block masked
     # select (wheres, not take_along_axis: gathers are slow on TPU). The
@@ -348,24 +348,42 @@ def search_acs(
         qs = jnp.pad(qs, ((0, 0), (0, nby - gby * k), (0, nbx - gbx * k), (0, 0), (0, 0)))
         return jnp.where(mb[None, :, :, None, None], qs, storage)
 
-    if r16 is not None:
-        raw = scatter_merged(raw, r16, jnp.logical_and(m16, (acs[::2, ::2] == ACS_DCT16X16)[: m16.shape[0], : m16.shape[1]]), 16)
-    if r32 is not None:
-        raw = scatter_merged(raw, r32, m32, 32)
+    for slots, merge, n, sid in merged:
+        k = n // 8
+        gby, gbx = merge.shape
+        # guard by the FINAL acs map: a later (bigger) rung may have
+        # overridden this rung's merge decision
+        origin_is = acs[: gby * k : k, : gbx * k : k] == sid
+        raw = scatter_merged(raw, slots, jnp.logical_and(merge, origin_is), n)
 
-    qsteps = steps_field(variants, acs, effective_multiplier(qf_mul, acs))
+    qsteps = steps_field(distance, acs, effective_multiplier(qf_mul, acs))
     return acs, raw, qsteps
 
 
-def steps_field(variants: jnp.ndarray, acs: jnp.ndarray, eff_mul: jnp.ndarray) -> jnp.ndarray:
-    """[3, nby, nbx, 8, 8] per-block step field via a one-hot matmul (not a
-    gather — see transforms.dct.select_rows for why)."""
-    from jxl_tpu.transforms.dct import select_rows
+def steps_field(distance, acs: jnp.ndarray, eff_mul: jnp.ndarray) -> jnp.ndarray:
+    """[3, nby, nbx, 8, 8] per-block quant-step field.
 
+    One periodic tiling per size class + masked selects: for a merged size
+    n (k = n//8), block (by, bx) of an aligned group holds sub-tile
+    (by %% k, bx %% k) of the n x n step table — a static function of
+    position, so the whole class field is one jnp.tile of the [3, k, k,
+    8, 8] table. The selects fuse into a single elementwise pass; nothing
+    scales with a variant count (the 256x256 class alone would need 1024
+    rows in a flat table)."""
     nby, nbx = acs.shape
-    vidx = variant_index_map(acs)
-    sel = select_rows(vidx.reshape(-1), variants.reshape(variants.shape[0], -1))
-    field = sel.reshape(nby, nbx, 3, 8, 8).transpose(2, 0, 1, 3, 4)
+    sel = acs[None, :, :, None, None]
+    sub8 = sub8_step_grids(distance)
+    field = jnp.broadcast_to(sub8[0][:, None, None], (3, nby, nbx, 8, 8))
+    for s in (ACS_DCT4X4, ACS_DCT8X4, ACS_DCT4X8):
+        field = jnp.where(sel == s, sub8[s][:, None, None], field)
+    for n, sid, _min_eff in MERGE_LADDER:
+        k = n // 8
+        if nby < k or nbx < k:
+            continue  # merged id can't occur in a smaller image
+        g = merged_step_slots(distance, n)  # [3, k, k, 8, 8]
+        ry, rx = -(-nby // k), -(-nbx // k)
+        t = jnp.tile(g, (1, ry, rx, 1, 1))[:, :nby, :nbx]
+        field = jnp.where(sel == sid, t, field)
     return field * eff_mul[None, :, :, None, None]
 
 
@@ -373,6 +391,6 @@ def effective_multiplier(qf_mul: jnp.ndarray, acs: jnp.ndarray) -> jnp.ndarray:
     """Per-block step multiplier given the quant field and strategy map:
     merged transforms take the group-minimum (same rule on both codec sides)."""
     eff = qf_mul
-    eff = jnp.where(acs == ACS_DCT16X16, group_min_multiplier(qf_mul, 2), eff)
-    eff = jnp.where(acs == ACS_DCT32X32, group_min_multiplier(qf_mul, 4), eff)
+    for n, sid, _min_eff in MERGE_LADDER:
+        eff = jnp.where(acs == sid, group_min_multiplier(qf_mul, n // 8), eff)
     return eff

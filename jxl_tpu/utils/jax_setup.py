@@ -49,6 +49,17 @@ def ready_get(x, interval: float = 0.002):
     )
 
 
+def use_pallas() -> bool:
+    """Whether Mosaic kernels can run: they need real TPU hardware; CPU
+    runs (tests, harness logic) use the bit-exact XLA twins. Disable
+    explicitly with JXL_TPU_NO_PALLAS=1."""
+    import jax
+
+    if os.environ.get("JXL_TPU_NO_PALLAS"):
+        return False
+    return jax.devices()[0].platform != "cpu"
+
+
 def configure_jax() -> None:
     import jax
 

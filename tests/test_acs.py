@@ -14,12 +14,15 @@ from jxl_tpu.strategy.acs import (
     ACS_DCT4X4,
     ACS_DCT16X16,
     ACS_DCT32X32,
+    ACS_DCT64X64,
+    MERGE_LADDER,
     candidates_merged,
     candidates_sub8,
+    merged_step_slots,
     reassemble_merged,
     search_acs,
-    step_grid_variants,
-    variant_index_map,
+    steps_field,
+    sub8_step_grids,
 )
 from jxl_tpu.transforms.dct import dct2d
 from tests.conftest import make_test_image
@@ -69,7 +72,9 @@ def test_merged_roundtrip_exact_on_smooth():
     np.testing.assert_allclose(np.asarray(tiles), 0.37, atol=1e-4)
 
 
-def test_variant_index_map():
+def test_steps_field_matches_merged_slots():
+    """For a 16x16-merged 2x2 group, the per-block step field must equal the
+    n x n step-table tiles, sub-positioned by (by % k, bx % k)."""
     acs = jnp.asarray(
         np.array(
             [
@@ -79,15 +84,24 @@ def test_variant_index_map():
             np.int32,
         )
     )
-    v = np.asarray(variant_index_map(acs))
-    assert v[0, 0] == 4 and v[0, 1] == 5 and v[1, 0] == 6 and v[1, 1] == 7
-    assert v[0, 2] == 0 and v[0, 3] == 1 and v[1, 2] == 2 and v[1, 3] == 3
+    eff = jnp.ones((2, 4), jnp.float32)
+    field = np.asarray(steps_field(1.0, acs, eff))  # [3, 2, 4, 8, 8]
+    slots16 = np.asarray(merged_step_slots(1.0, 16))  # [3, 2, 2, 8, 8]
+    sub8 = np.asarray(sub8_step_grids(1.0))
+    for ky in range(2):
+        for kx in range(2):
+            np.testing.assert_array_equal(field[:, ky, kx], slots16[:, ky, kx])
+    for j, sid in enumerate((0, 1, 2, 3)):
+        by, bx = divmod(j, 2)
+        np.testing.assert_array_equal(field[:, by, bx + 2], sub8[sid])
 
 
 def test_step_grids_positive():
-    v = step_grid_variants(1.0)
-    assert v.shape == (24, 3, 8, 8)
-    assert (v > 0).all()
+    assert (np.asarray(sub8_step_grids(1.0)) > 0).all()
+    for n, _sid, _e in MERGE_LADDER:
+        s = np.asarray(merged_step_slots(1.0, n))
+        assert s.shape == (3, n // 8, n // 8, 8, 8)
+        assert (s > 0).all()
 
 
 def test_search_flat_prefers_merges():
@@ -96,18 +110,50 @@ def test_search_flat_prefers_merges():
     acs, qstorage, qsteps = search_acs(
         blocks, planes, 1.0, effort=7, hook_a=False, hook_b=False
     )
-    # flat content: everything merges to 32x32
-    assert int(jnp.sum(acs == ACS_DCT32X32)) == 64
+    # flat content: everything merges to the biggest transform effort 7
+    # allows (64x64 covers the whole image)
+    assert int(jnp.sum(acs == ACS_DCT64X64)) == 64
     assert int(jnp.abs(qstorage).max()) == 0  # no AC energy
 
 
+def test_search_flat_effort6_stops_at_16():
+    planes = jnp.full((3, 64, 64), 0.5, jnp.float32)
+    blocks = _blocks(planes)
+    acs, _, _ = search_acs(blocks, planes, 1.0, effort=6, hook_a=False, hook_b=False)
+    assert int(jnp.sum(acs == ACS_DCT16X16)) == 64  # e6 gates 32+
+
+
 def test_search_textured_mixes_strategies():
+    from jxl_tpu.strategy.acs import N_STRATEGIES
+
     img = make_test_image(64, 64, seed=11).astype(np.float32) / 255.0
     planes = jnp.asarray(np.transpose(img, (2, 0, 1)))
     blocks = _blocks(planes)
     acs, _, _ = search_acs(blocks, planes, 1.0, effort=7, hook_a=False, hook_b=False)
     assert acs.shape == (8, 8)
-    assert int(acs.min()) >= 0 and int(acs.max()) <= 5
+    assert int(acs.min()) >= 0 and int(acs.max()) <= N_STRATEGIES - 1
+
+
+@pytest.mark.parametrize("n,sid,effort", [(64, 6, 7), (128, 7, 8), (256, 8, 9)])
+def test_large_merge_roundtrip(n, sid, effort):
+    """Content that is free at every scale (flat) must ladder all the way
+    up to the largest transform the effort allows, and a same-size gradient
+    must still round-trip through the full codec (the merge decision on a
+    gradient is a legitimate rate call — the local ramp amplitude grows
+    with tile size, so bigger merges may lose; flat content always wins)."""
+    planes = jnp.full((3, n, n), 0.42, jnp.float32)
+    blocks = _blocks(planes)
+    acs, _, _ = search_acs(
+        blocks, planes, 1.0, effort=effort, hook_a=False, hook_b=False
+    )
+    assert int(jnp.sum(acs == sid)) == (n // 8) ** 2, np.asarray(acs)
+
+    yy, xx = np.mgrid[0:n, 0:n].astype(np.float32)
+    lum = 0.35 + 0.25 * (xx + yy) / (2 * n)
+    img = (np.stack([lum, lum, lum], axis=-1) * 255).astype(np.uint8)
+    data = encode_image(img, CodecConfig(distance=1.0, effort=effort))
+    out = decode_bytes(data)
+    assert calculate_psnr(img, out) > 38.0
 
 
 @pytest.mark.parametrize(
