@@ -52,6 +52,28 @@ RUST_EFFORTS = (5, 6, 7, 8, 9)
 LEGACY_DISTANCES = (0.0, 0.5, 1.0, 2.0, 3.0, 5.0, 10.0, 15.0, 25.0)
 LEGACY_EFFORTS = tuple(range(1, 10))
 
+# Decompression-stage table (restores old_test_jxl.py:476-502: the Rust
+# harness dropped decompressed-size tracking; column parity with
+# ImageDecompressionData.get_col_names(), old_test_jxl.py:133-158).
+DECOMPRESSION_HEADER = [
+    "Original Image Path",
+    "Compressed Image Path",
+    "Decompressed Image Path",
+    "Compression Effort",
+    "Compression Distance",
+    "Image Dims",
+    "Original Image Size",
+    "Original Image Format",
+    "Compressed Image Size",
+    "Compressed Image Format",
+    "Decompressed Image Size",
+    "Decompressed Image Format",
+    "Delta Original Image Size",
+    "% of Original Image Size",
+    "Delta Compressed Image Size",
+    "% of Compressed Image Size",
+]
+
 # Per-grid-point timing rows (written to timings.csv, NOT the reference
 # 17-col schema: that file stays byte-compatible).
 TIMINGS_HEADER = [
@@ -74,6 +96,10 @@ class SweepConfig:
     efforts: Sequence[int] = RUST_EFFORTS
     strategy: Strategy = Strategy.BASELINE
     keep_artifacts: bool = True  # write .jxt/.png outputs like the reference
+    # legacy-pipeline stages (old_test_jxl.py:476-522): write decoded PNGs +
+    # decompressed-size table / amplified |orig - decoded| diff images
+    decompress: bool = False
+    compare_images: bool = False
     # "data=N" or "data=N,space=M": encode batches of N images per mesh
     # dispatch (the TPU-native analog of the reference's N-worker pool,
     # config.rs:22) instead of one image row at a time. None = single-device.
@@ -376,6 +402,9 @@ class SweepRunner:
             rows_meta.append((d, data, comp_name, fin()))
         metrics_s = (time.perf_counter() - t2) / max(1, len(todo))
 
+        if self.config.decompress or self.config.compare_images:
+            self._legacy_stages(ctx, image_name, meta, rgb, e, todo, datas, outs)
+
         mp = rgb.shape[0] * rgb.shape[1] / 1e6
         append_rows(
             timings_csv,
@@ -407,6 +436,68 @@ class SweepRunner:
                 f"dec={mp / decode_s:.2f}MP/s metrics={metrics_s * 1e3:.1f}ms"
             )
         return rows
+
+    def _legacy_stages(self, ctx, image_name, meta, rgb, e, todo, datas, outs):
+        """Legacy-pipeline stages the Rust harness dropped (SURVEY §2.5):
+
+        --decompress: write each decoded image as PNG into decompressed/
+        and append a 16-col row (column parity with old_test_jxl.py's
+        ImageDecompressionData) to decompressed.csv — decompressed size
+        tables vs original AND vs compressed (old_test_jxl.py:476-502).
+        --compare-images: write amplified |orig - decoded| diff images into
+        diffs/ (the ImageMagick `compare` stage, old_test_jxl.py:505-522,
+        without the external tool)."""
+        from jxl_tpu.core.io import write_image
+        from jxl_tpu.utils.jax_setup import ready_get
+
+        test_set, strategy = ctx["test_set"], ctx["strategy"]
+        base = os.path.join(self.run_dir, test_set, strategy.name)
+        stem = os.path.splitext(image_name)[0]
+        orig_fmt = os.path.splitext(image_name)[1].lstrip(".").upper() or "PNG"
+        h_px, w_px = rgb.shape[0], rgb.shape[1]
+
+        dec_rows = []
+        for (d, data), out in zip(zip(todo, datas), outs):
+            px = np.asarray(ready_get(out))
+            comp_path = os.path.join(base, "output", f"{stem}-{d}-{e}.jxt")
+            if self.config.decompress:
+                dec_dir = os.path.join(base, "decompressed")
+                os.makedirs(dec_dir, exist_ok=True)
+                dec_path = os.path.join(dec_dir, f"{stem}-{d}-{e}.png")
+                write_image(dec_path, px)
+                dec_size = os.path.getsize(dec_path)
+                dec_rows.append(
+                    [
+                        os.path.join(self.config.test_image_dir, test_set, image_name),
+                        comp_path,
+                        dec_path,
+                        e,
+                        d,
+                        f"{w_px}x{h_px}",
+                        meta.file_size,
+                        orig_fmt,
+                        len(data),
+                        "JXT",
+                        dec_size,
+                        "PNG",
+                        dec_size - meta.file_size,
+                        f"{dec_size / max(meta.file_size, 1) * 100:.4f}",
+                        dec_size - len(data),
+                        f"{dec_size / max(len(data), 1) * 100:.4f}",
+                    ]
+                )
+            if self.config.compare_images:
+                diff_dir = os.path.join(base, "diffs")
+                os.makedirs(diff_dir, exist_ok=True)
+                diff = np.abs(
+                    rgb.astype(np.int16) - px.astype(np.int16)
+                )
+                amp = np.clip(diff * 8, 0, 255).astype(np.uint8)
+                write_image(os.path.join(diff_dir, f"{stem}-{d}-{e}-diff.png"), amp)
+        if dec_rows:
+            dec_csv = os.path.join(base, "results", "decompressed.csv")
+            write_csv_header(dec_csv, DECOMPRESSION_HEADER)
+            append_rows(dec_csv, dec_rows)
 
     def _compare_to_orig(
         self, meta, comp_name, m, comp_size, d, e

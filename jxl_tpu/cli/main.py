@@ -118,6 +118,8 @@ def _cmd_bench_inner(args) -> int:
         efforts=efforts,
         strategy=Strategy[args.strategy],
         mesh=args.mesh,
+        decompress=args.decompress,
+        compare_images=args.compare_images,
     )
     runner = SweepRunner(cfg)
     test_sets = discover_test_sets(args.test_image_dir)
@@ -179,6 +181,16 @@ def main(argv=None) -> int:
     pb.add_argument("--efforts", type=int, nargs="*", default=None)
     pb.add_argument("--compare-to", default=None, help="second strategy for A/B diff")
     pb.add_argument("--graph", action="store_true", help="write boxplots + RD curves")
+    pb.add_argument(
+        "--decompress",
+        action="store_true",
+        help="write decoded PNGs + decompressed-size table (legacy stage, old_test_jxl.py:476-502)",
+    )
+    pb.add_argument(
+        "--compare-images",
+        action="store_true",
+        help="write amplified |orig-decoded| diff images (legacy stage, old_test_jxl.py:505-522)",
+    )
     pb.add_argument(
         "--mesh",
         default=None,

@@ -103,24 +103,36 @@ def _reconstruct_sub8(storage: jnp.ndarray, dc: jnp.ndarray, acs: jnp.ndarray):
 
 
 def _overlay_merged(pix: jnp.ndarray, storage, dc, acs, n: int, sid: int):
-    """Overwrite pixels of n x n merged groups (dense compute + mask)."""
+    """Overwrite pixels of n x n merged groups (dense compute + mask).
+
+    The dense reassembly (full-image n x n IDCTs) is wrapped in a REAL
+    lax.cond on "any group uses this size": photographic content rarely
+    reaches 128/256, and decode is never vmapped (the RD-grid path is
+    lax.map), so the cond actually skips the work at runtime — adding the
+    full 16..256 ladder costs nothing when absent."""
     k = n // 8
     nby, nbx = acs.shape
     gby, gbx = nby // k, nbx // k
     if gby == 0 or gbx == 0:
         return pix
-    slots = storage[:, : gby * k, : gbx * k].reshape(3, gby, k, gbx, k, 8, 8).transpose(
-        0, 1, 3, 2, 4, 5, 6
-    )  # [3, gby, gbx, k, k, 8, 8]
-    dcb = dc[:, : gby * k, : gbx * k].reshape(3, gby, k, gbx, k).transpose(0, 1, 3, 2, 4)
-    tiles = reassemble_merged(slots, dcb)  # [3, gby, gbx, n, n]
-    tile_img = tiles.transpose(0, 1, 3, 2, 4).reshape(3, gby * n, gbx * n)
     mask = acs[: gby * k : k, : gbx * k : k] == sid  # group origin blocks
-    mask_img = jnp.repeat(jnp.repeat(mask, n, axis=0), n, axis=1)
-    hp, wp = pix.shape[-2:]
-    tile_full = jnp.pad(tile_img, ((0, 0), (0, hp - gby * n), (0, wp - gbx * n)))
-    mask_full = jnp.pad(mask_img, ((0, hp - gby * n), (0, wp - gbx * n)))
-    return jnp.where(mask_full[None], tile_full, pix)
+
+    def overlay(pix):
+        slots = storage[:, : gby * k, : gbx * k].reshape(
+            3, gby, k, gbx, k, 8, 8
+        ).transpose(0, 1, 3, 2, 4, 5, 6)  # [3, gby, gbx, k, k, 8, 8]
+        dcb = dc[:, : gby * k, : gbx * k].reshape(3, gby, k, gbx, k).transpose(
+            0, 1, 3, 2, 4
+        )
+        tiles = reassemble_merged(slots, dcb)  # [3, gby, gbx, n, n]
+        tile_img = tiles.transpose(0, 1, 3, 2, 4).reshape(3, gby * n, gbx * n)
+        mask_img = jnp.repeat(jnp.repeat(mask, n, axis=0), n, axis=1)
+        hp, wp = pix.shape[-2:]
+        tile_full = jnp.pad(tile_img, ((0, 0), (0, hp - gby * n), (0, wp - gbx * n)))
+        mask_full = jnp.pad(mask_img, ((0, hp - gby * n), (0, wp - gbx * n)))
+        return jnp.where(mask_full[None], tile_full, pix)
+
+    return jax.lax.cond(jnp.any(mask), overlay, lambda p: p, pix)
 
 
 def _pow2_bucket(n: int, floor: int = 1024) -> int:

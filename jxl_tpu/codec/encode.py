@@ -51,6 +51,28 @@ from jxl_tpu.transforms.quant import dc_steps_t
 from jxl_tpu.utils.jax_setup import ready_get
 
 
+def _ac_deadzone() -> float:
+    """Dead-zone width added to the AC zero bin, in step units. Encoder-side
+    only (coefficients with |x| < (0.5 + dz) * step code as 0; the decoder
+    is unchanged): a slightly wider zero bin buys more rate than the
+    distortion it costs on near-threshold noise — the standard dead-zone
+    quantizer RD win. Tuned on the synthetic bench set (see
+    docs/deadzone_rd.md); JXL_TPU_DEADZONE overrides for experiments."""
+    import os
+
+    return float(os.environ.get("JXL_TPU_DEADZONE", "0.12"))
+
+
+def _quantize_ac(x: jnp.ndarray, steps: jnp.ndarray) -> jnp.ndarray:
+    """Round-to-nearest with a widened zero bin (see _ac_deadzone)."""
+    t = x / steps
+    q = jnp.round(t).astype(jnp.int32)
+    dz = _ac_deadzone()
+    if dz > 0.0:
+        q = jnp.where(jnp.abs(t) < 0.5 + dz, 0, q)
+    return q
+
+
 def image_to_blocks(planes: jnp.ndarray, hp: int, wp: int) -> jnp.ndarray:
     """[3, H, W] -> edge-padded [3, nby, nbx, 8, 8]."""
     h, w = planes.shape[-2:]
@@ -122,7 +144,7 @@ def tokens_from_rgb(
     # (so encoder and decoder see identical predictors), signaled as
     # 1/32-step indices. The (0,0) slots are zero in every strategy, so DC
     # never leaks through the predictor.
-    qy = jnp.round(raw[1] / qsteps[1]).astype(jnp.int32)
+    qy = _quantize_ac(raw[1], qsteps[1])
     yd = qy.astype(jnp.float32) * qsteps[1]
     ty, tx = lay["ty"], lay["tx"]
     nby, nbx = lay["nby"], lay["nbx"]
@@ -142,8 +164,8 @@ def tokens_from_rgb(
         resids[c] = raw[c] - kb[:, :, None, None] * yd
         cfl_idx.append(idx.reshape(-1))
 
-    qx = jnp.round(resids[0] / qsteps[0]).astype(jnp.int32)
-    qb = jnp.round(resids[2] / qsteps[2]).astype(jnp.int32)
+    qx = _quantize_ac(resids[0], qsteps[0])
+    qb = _quantize_ac(resids[2], qsteps[2])
     qstorage = jnp.stack([qx, qy, qb])
 
     # DC plane: exact 8x8 block means * 8 for every strategy.

@@ -55,18 +55,28 @@ def _incl_cumsum_lanes(v):
     return x
 
 
-def _lower_bound_rank(csum_row, r):
-    """For each lane, the index of the emitting lane with rank r: the
-    smallest k with csum_row[k] == r + 1 on a nondecreasing inclusive
-    cumsum. csum_row: [1, 128] i32; r: [1, 128] i32 (may be negative /
-    out of range — caller masks validity). Returns [1, 128] i32."""
+def _lower_bound_rank(csum, r):
+    """Rowwise: the index of the emitting lane with rank r — the smallest
+    k with csum[row, k] == r + 1 on a nondecreasing inclusive cumsum.
+    csum, r: [8, 128] i32 (r may be negative / out of range — caller masks
+    validity). Mosaic's gather rule wants full [8, 128] tiles, so searches
+    run stacked across all groups at once (rows are independent)."""
     lo = jnp.zeros_like(r)
     for p in (64, 32, 16, 8, 4, 2, 1):
         cand = lo + p
-        cv = jnp.take_along_axis(csum_row, jnp.minimum(cand, GROUP - 1), axis=1)
+        cv = jnp.take_along_axis(csum, jnp.minimum(cand, GROUP - 1), axis=1)
         lo = jnp.where(cv <= r, cand, lo)
-    first = jnp.take_along_axis(csum_row, jnp.zeros_like(r), axis=1)
+    first = jnp.take_along_axis(csum, jnp.zeros_like(r), axis=1)
     return jnp.where(first <= r, lo + 1, 0)
+
+
+def _stack_scalar_col(vals, fill=0):
+    """[len(vals)] SMEM scalars -> [8, 1] i32 column (decode's off_col
+    pattern)."""
+    parts = [jnp.full((1, 1), v, jnp.int32) for v in vals]
+    if len(vals) < 8:
+        parts.append(jnp.full((8 - len(vals), 1), fill, jnp.int32))
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
 
 
 def _make_enc_kernel(G: int, capw: int, capm: int, Tg: int):
@@ -106,59 +116,75 @@ def _make_enc_kernel(G: int, capw: int, capm: int, Tg: int):
                 x1 % fu
             ) + c.astype(jnp.uint32)
 
-            # ---- words: back-fill this step's emissions in rank order ----
+            # ---- words: back-fill this step's emissions in rank order.
+            # Searches/gathers run STACKED over all groups as [8, 128]
+            # tiles (Mosaic's gather lowering wants full tiles, not [1,128]
+            # slices); only the window read-modify-writes are per group row
+            # (aligned bases differ per group).
             e32 = emit.astype(jnp.int32)
             csum = _incl_cumsum_lanes(e32)
+            wold = [ptr_ref[g] for g in range(G)]
+            wnew = [wold[g] - jnp.sum(e32[g, :]) for g in range(G)]
+            wbase = [(jnp.maximum(p, 0) // GROUP) * GROUP for p in wnew]
+            new_col = _stack_scalar_col(wnew)
+            old_col = _stack_scalar_col(wold)
+            base_col = _stack_scalar_col(wbase)
+            for wj in range(2):
+                olds = [
+                    words_ref[
+                        g, pl.ds(pl.multiple_of(wbase[g] + wj * GROUP, GROUP), GROUP)
+                    ].reshape(1, GROUP)
+                    for g in range(G)
+                ] + [jnp.zeros((1, GROUP), jnp.int32)] * (8 - G)
+                old = olds[0] if len(olds) == 1 else jnp.concatenate(olds, axis=0)
+                pos = base_col + wj * GROUP + iota  # [8, 128]
+                r = pos - new_col
+                valid = (r >= 0) & (pos < old_col)
+                idx = _lower_bound_rank(csum, r)
+                wv = jnp.take_along_axis(word, idx, axis=1)
+                merged = jnp.where(valid, wv, old)
+                for g in range(G):
+                    words_ref[
+                        g, pl.ds(pl.multiple_of(wbase[g] + wj * GROUP, GROUP), GROUP)
+                    ] = merged[g, :]
             for g in range(G):
-                ne = jnp.sum(e32[g, :])
-                old_ptr = ptr_ref[g]
-                new_ptr = old_ptr - ne
-                safe = jnp.maximum(new_ptr, 0)  # overflow -> garbage prefix
-                base = (safe // GROUP) * GROUP
-                csg = csum[g : g + 1, :]
-                wg = word[g : g + 1, :]
-                for wj in range(2):
-                    start = pl.multiple_of(base + wj * GROUP, GROUP)
-                    old = words_ref[g, pl.ds(start, GROUP)].reshape(1, GROUP)
-                    pos = start + iota
-                    r = pos - new_ptr
-                    valid = (r >= 0) & (pos < old_ptr)
-                    idx = _lower_bound_rank(csg, r)
-                    wv = jnp.take_along_axis(wg, idx, axis=1)
-                    words_ref[g, pl.ds(start, GROUP)] = jnp.where(
-                        valid, wv, old
-                    ).reshape(GROUP)
-                ptr_ref[g] = new_ptr
+                ptr_ref[g] = wnew[g]
 
             # ---- mantissa bytes: same back-fill, up to 3 bytes/token ----
             nbits = jnp.where(tok >= 32, tok - 27, 0)
             nbyt = (nbits + 7) >> 3
             bcs = _incl_cumsum_lanes(nbyt)
+            brank = bcs - nbyt  # per-token exclusive byte offsets
+            mstep = mant_ref[s]
+            bold = [ptr_ref[8 + g] for g in range(G)]
+            bnew = [bold[g] - jnp.sum(nbyt[g, :]) for g in range(G)]
+            bbase = [(jnp.maximum(p, 0) // GROUP) * GROUP for p in bnew]
+            bnew_col = _stack_scalar_col(bnew)
+            bold_col = _stack_scalar_col(bold)
+            bbase_col = _stack_scalar_col(bbase)
+            for wj in range(4):
+                olds = [
+                    mbytes_ref[
+                        g, pl.ds(pl.multiple_of(bbase[g] + wj * GROUP, GROUP), GROUP)
+                    ].reshape(1, GROUP)
+                    for g in range(G)
+                ] + [jnp.zeros((1, GROUP), jnp.int32)] * (8 - G)
+                old = olds[0] if len(olds) == 1 else jnp.concatenate(olds, axis=0)
+                pos = bbase_col + wj * GROUP + iota
+                r = pos - bnew_col
+                valid = (r >= 0) & (pos < bold_col)
+                idx = _lower_bound_rank(bcs, r)
+                rk = jnp.take_along_axis(brank, idx, axis=1)
+                jof = jnp.clip(r - rk, 0, MAX_NBYTES - 1)
+                mv = jnp.take_along_axis(mstep, idx, axis=1)
+                byte = (mv >> (8 * jof)) & 0xFF
+                merged = jnp.where(valid, byte, old)
+                for g in range(G):
+                    mbytes_ref[
+                        g, pl.ds(pl.multiple_of(bbase[g] + wj * GROUP, GROUP), GROUP)
+                    ] = merged[g, :]
             for g in range(G):
-                nb = jnp.sum(nbyt[g, :])
-                old_ptr = ptr_ref[8 + g]
-                new_ptr = old_ptr - nb
-                safe = jnp.maximum(new_ptr, 0)
-                base = (safe // GROUP) * GROUP
-                bcg = bcs[g : g + 1, :]
-                nbg = nbyt[g : g + 1, :]
-                mg = mant_ref[s][g : g + 1, :]
-                for wj in range(4):
-                    start = pl.multiple_of(base + wj * GROUP, GROUP)
-                    old = mbytes_ref[g, pl.ds(start, GROUP)].reshape(1, GROUP)
-                    pos = start + iota
-                    r = pos - new_ptr
-                    valid = (r >= 0) & (pos < old_ptr)
-                    idx = _lower_bound_rank(bcg, r)
-                    bv = jnp.take_along_axis(bcg, idx, axis=1)
-                    nv = jnp.take_along_axis(nbg, idx, axis=1)
-                    jof = jnp.clip(r - (bv - nv), 0, MAX_NBYTES - 1)
-                    mv = jnp.take_along_axis(mg, idx, axis=1)
-                    byte = (mv >> (8 * jof)) & 0xFF
-                    mbytes_ref[g, pl.ds(start, GROUP)] = jnp.where(
-                        valid, byte, old
-                    ).reshape(GROUP)
-                ptr_ref[8 + g] = new_ptr
+                ptr_ref[8 + g] = bnew[g]
 
         @pl.when(i == Tg - 1)
         def _():
