@@ -374,36 +374,54 @@ class SweepRunner:
 
         import jax.numpy as jnp
 
-        from jxl_tpu.utils.jax_setup import ready_wait
+        from jxl_tpu.codec.container import read_container
+        from jxl_tpu.codec.decode import (
+            decode_bytes_grid_stacked,
+            decode_stream_device,
+        )
+        from jxl_tpu.metrics.battery import metric_battery_grid_async
+        from jxl_tpu.utils.jax_setup import ready_get, ready_wait
 
         rgb_dev = jnp.asarray(rgb)  # upload the original once
-        # The whole distance row decodes as ONE dispatch (lax.map over the
-        # shared-bucket packed buffers — decode.py's _decode_packed_grid);
-        # the metric battery then runs one fused program per point,
-        # dispatched back-to-back so the only blocking call left is the
-        # per-point 7-scalar get. Decode and metric-battery wall time are
-        # measured SEPARATELY (the reference measures neither).
+        legacy = self.config.decompress or self.config.compare_images
+        # The whole distance row decodes as ONE dispatch to a STACKED
+        # [N, H, W, 3] device array, and the metric battery consumes the
+        # stack in ONE more dispatch + one [N, 6] fetch — per-point device
+        # ops (slices, per-pair batteries) each cost a full ~25 ms
+        # round-trip over the tunneled TPU. Decode and metric-battery wall
+        # time are measured SEPARATELY (the reference measures neither).
         t1 = time.perf_counter()
-        outs = decode_bytes_grid_device(datas)
-        ready_wait(outs)
+        stacked = decode_bytes_grid_stacked(datas)
+        if stacked is not None:
+            ready_wait(stacked)
+        else:  # mixed geometry / lossless points: per-stream decodes
+            outs = [decode_stream_device(read_container(b)) for b in datas]
+            ready_wait(outs)
         decode_s = (time.perf_counter() - t1) / max(1, len(todo))
 
         t2 = time.perf_counter()
-        pending = [
-            (d, data, metric_battery_async(rgb_dev, out))
-            for (d, data), out in zip(zip(todo, datas), outs)
-        ]
+        if stacked is not None:
+            metrics = metric_battery_grid_async(rgb_dev, stacked)()
+            host_px = np.asarray(ready_get(stacked)) if legacy else None
+        else:
+            pending = [metric_battery_async(rgb_dev, o) for o in outs]
+            metrics = [f() for f in pending]
+            host_px = (
+                np.stack([np.asarray(ready_get(o)) for o in outs])
+                if legacy
+                else None
+            )
         rows_meta = []
-        for d, data, fin in pending:
+        for (d, data), m in zip(zip(todo, datas), metrics):
             comp_name = f"{stem}-{d}-{e}.jxt"
             if self.config.keep_artifacts:
                 with open(os.path.join(dirs["output"], comp_name), "wb") as f:
                     f.write(data)
-            rows_meta.append((d, data, comp_name, fin()))
+            rows_meta.append((d, data, comp_name, m))
         metrics_s = (time.perf_counter() - t2) / max(1, len(todo))
 
-        if self.config.decompress or self.config.compare_images:
-            self._legacy_stages(ctx, image_name, meta, rgb, e, todo, datas, outs)
+        if legacy:
+            self._legacy_stages(ctx, image_name, meta, rgb, e, todo, datas, host_px)
 
         mp = rgb.shape[0] * rgb.shape[1] / 1e6
         append_rows(
@@ -437,7 +455,7 @@ class SweepRunner:
             )
         return rows
 
-    def _legacy_stages(self, ctx, image_name, meta, rgb, e, todo, datas, outs):
+    def _legacy_stages(self, ctx, image_name, meta, rgb, e, todo, datas, host_px):
         """Legacy-pipeline stages the Rust harness dropped (SURVEY §2.5):
 
         --decompress: write each decoded image as PNG into decompressed/
@@ -446,9 +464,9 @@ class SweepRunner:
         tables vs original AND vs compressed (old_test_jxl.py:476-502).
         --compare-images: write amplified |orig - decoded| diff images into
         diffs/ (the ImageMagick `compare` stage, old_test_jxl.py:505-522,
-        without the external tool)."""
+        without the external tool). host_px: [N, H, W, 3] u8 host pixels
+        (fetched once for the whole row)."""
         from jxl_tpu.core.io import write_image
-        from jxl_tpu.utils.jax_setup import ready_get
 
         test_set, strategy = ctx["test_set"], ctx["strategy"]
         base = os.path.join(self.run_dir, test_set, strategy.name)
@@ -457,8 +475,8 @@ class SweepRunner:
         h_px, w_px = rgb.shape[0], rgb.shape[1]
 
         dec_rows = []
-        for (d, data), out in zip(zip(todo, datas), outs):
-            px = np.asarray(ready_get(out))
+        for i, (d, data) in enumerate(zip(todo, datas)):
+            px = host_px[i]
             comp_path = os.path.join(base, "output", f"{stem}-{d}-{e}.jxt")
             if self.config.decompress:
                 dec_dir = os.path.join(base, "decompressed")

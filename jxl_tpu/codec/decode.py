@@ -363,22 +363,22 @@ def _pack_stream_np(stream: JxtStream, capw: int, capm: int) -> np.ndarray:
     return packed
 
 
-def decode_bytes_grid_device(datas):
+def decode_bytes_grid_stacked(datas):
     """Decode a whole RD-sweep row (list of container byte strings for the
     SAME image geometry) in ONE dispatch via `_decode_packed_grid`.
 
-    Returns a list of device arrays (views into one [N, H, W, 3] result).
-    Falls back to per-stream decodes when the row mixes geometries, lane
-    counts, EPF settings, or contains lossless (d=0) points — those run
-    their own modular program.
+    Returns a STACKED [N, H, W, 3] device array — consumers should index
+    it inside their own jitted programs (or fetch it whole): a host-side
+    `out[i]` slice is a separate device op, which costs a full dispatch
+    round-trip (~25 ms) over the tunneled TPU. Returns None when the row
+    mixes geometries, lane counts, EPF settings, or contains lossless
+    (d=0) points — callers fall back to per-stream decodes.
     """
     from jxl_tpu.entropy.pallas_rans import MANT_SLACK, WORD_SLACK
 
     streams = [read_container(b) for b in datas]
-    if len(streams) == 1:
-        return [decode_stream_device(streams[0])]
     h0 = streams[0].header
-    uniform = all(
+    uniform = len(streams) > 1 and all(
         s.header.height == h0.height
         and s.header.width == h0.width
         and s.header.lanes == h0.lanes
@@ -387,7 +387,7 @@ def decode_bytes_grid_device(datas):
         for s in streams
     )
     if not uniform:
-        return [decode_stream_device(s) for s in streams]
+        return None
 
     capw = _pow2_bucket(
         max(int(s.wcounts.max()) for s in streams) + WORD_SLACK
@@ -397,7 +397,7 @@ def decode_bytes_grid_device(datas):
     )
     packed = np.stack([_pack_stream_np(s, capw, capm) for s in streams])
     distances = np.asarray([s.header.distance for s in streams], np.float32)
-    out = _decode_packed_grid(
+    return _decode_packed_grid(
         jnp.asarray(packed),
         jnp.asarray(distances),
         height=h0.height,
@@ -408,7 +408,16 @@ def decode_bytes_grid_device(datas):
         capm=capm,
         pallas=_use_pallas(),
     )
-    return [out[i] for i in range(len(streams))]
+
+
+def decode_bytes_grid_device(datas):
+    """List-of-device-arrays view of decode_bytes_grid_stacked (each
+    element is a slice op — fine on CPU, a dispatch each on the tunneled
+    TPU; hot paths use the stacked form directly)."""
+    out = decode_bytes_grid_stacked(datas)
+    if out is None:
+        return [decode_stream_device(read_container(b)) for b in datas]
+    return [out[i] for i in range(out.shape[0])]
 
 
 def decode_stream(stream: JxtStream) -> np.ndarray:

@@ -129,76 +129,122 @@ def tokens_from_rgb(
     qf_idx = quant_field(planes_p[1])  # [nby, nbx] int32
     qf_mul = qf_multiplier(qf_idx)
 
-    acs, raw, qsteps = search_acs(
-        blocks,
-        planes_p,
-        distance,
-        effort=effort,
-        hook_a=hook_a,
-        hook_b=hook_b,
-        qf_mul=qf_mul,
-    )
+    def one_pass(bit_lut):
+        acs, raw, qsteps = search_acs(
+            blocks,
+            planes_p,
+            distance,
+            effort=effort,
+            hook_a=hook_a,
+            hook_b=hook_b,
+            qf_mul=qf_mul,
+            bit_lut=bit_lut,
+        )
 
-    # Chroma-from-luma: per-32x32-tile least-squares factors of the X and
-    # B-residual coefficients against the *dequantized* luma coefficients
-    # (so encoder and decoder see identical predictors), signaled as
-    # 1/32-step indices. The (0,0) slots are zero in every strategy, so DC
-    # never leaks through the predictor.
-    qy = _quantize_ac(raw[1], qsteps[1])
-    yd = qy.astype(jnp.float32) * qsteps[1]
-    ty, tx = lay["ty"], lay["tx"]
-    nby, nbx = lay["nby"], lay["nbx"]
+        # Chroma-from-luma: per-32x32-tile least-squares factors of the X
+        # and B-residual coefficients against the *dequantized* luma
+        # coefficients (so encoder and decoder see identical predictors),
+        # signaled as 1/32-step indices. The (0,0) slots are zero in every
+        # strategy, so DC never leaks through the predictor.
+        qy = _quantize_ac(raw[1], qsteps[1])
+        yd = qy.astype(jnp.float32) * qsteps[1]
+        ty, tx = lay["ty"], lay["tx"]
+        nby, nbx = lay["nby"], lay["nbx"]
 
-    def tile_sum(x):
-        xp = jnp.pad(x, ((0, ty * 4 - nby), (0, tx * 4 - nbx), (0, 0), (0, 0)))
-        return xp.reshape(ty, 4, tx, 4, 8, 8).sum(axis=(1, 3, 4, 5))
+        def tile_sum(x):
+            xp = jnp.pad(x, ((0, ty * 4 - nby), (0, tx * 4 - nbx), (0, 0), (0, 0)))
+            return xp.reshape(ty, 4, tx, 4, 8, 8).sum(axis=(1, 3, 4, 5))
 
-    den = tile_sum(yd * yd) + 1e-9
-    cfl_idx = []
-    resids = {}
-    for c in (0, 2):
-        k = jnp.clip(tile_sum(raw[c] * yd) / den, -1.0, 1.0)
-        idx = jnp.round(k * 32.0).astype(jnp.int32)
-        kq = idx.astype(jnp.float32) / 32.0
-        kb = jnp.repeat(jnp.repeat(kq, 4, axis=0), 4, axis=1)[:nby, :nbx]
-        resids[c] = raw[c] - kb[:, :, None, None] * yd
-        cfl_idx.append(idx.reshape(-1))
+        den = tile_sum(yd * yd) + 1e-9
+        cfl_idx = []
+        resids = {}
+        for c in (0, 2):
+            k = jnp.clip(tile_sum(raw[c] * yd) / den, -1.0, 1.0)
+            idx = jnp.round(k * 32.0).astype(jnp.int32)
+            kq = idx.astype(jnp.float32) / 32.0
+            kb = jnp.repeat(jnp.repeat(kq, 4, axis=0), 4, axis=1)[:nby, :nbx]
+            resids[c] = raw[c] - kb[:, :, None, None] * yd
+            cfl_idx.append(idx.reshape(-1))
 
-    qx = _quantize_ac(resids[0], qsteps[0])
-    qb = _quantize_ac(resids[2], qsteps[2])
-    qstorage = jnp.stack([qx, qy, qb])
+        qx = _quantize_ac(resids[0], qsteps[0])
+        qb = _quantize_ac(resids[2], qsteps[2])
+        qstorage = jnp.stack([qx, qy, qb])
 
-    # DC plane: exact 8x8 block means * 8 for every strategy.
-    dc_step = dc_steps_t(distance)
-    dc8 = jnp.mean(blocks, axis=(-2, -1)) * 8.0  # [3, nby, nbx]
-    dcq = jnp.round(dc8 / dc_step[:, None, None]).astype(jnp.int32)
-    dc_res = dc_predict_residual(dcq)
+        # DC plane: exact 8x8 block means * 8 for every strategy.
+        dc_step = dc_steps_t(distance)
+        dc8 = jnp.mean(blocks, axis=(-2, -1)) * 8.0  # [3, nby, nbx]
+        dcq = jnp.round(dc8 / dc_step[:, None, None]).astype(jnp.int32)
+        dc_res = dc_predict_residual(dcq)
 
-    ac_zz = permute_last(qstorage.reshape(3, lay["nb"], 64), lay["zigzag"])[..., 1:]
+        ac_zz = permute_last(qstorage.reshape(3, lay["nb"], 64), lay["zigzag"])[..., 1:]
 
-    values = jnp.concatenate(
-        [
-            acs.reshape(-1).astype(jnp.uint32),  # small non-negative ids
-            qf_idx.reshape(-1).astype(jnp.uint32),
-            zigzag_map(jnp.concatenate(cfl_idx)),
-            zigzag_map(dc_res.reshape(-1)),
-            # z-major ([3, 63, nb]): contexts form long contiguous runs,
-            # the property the grouped rANS layer requires (layout.py).
-            zigzag_map(ac_zz.transpose(0, 2, 1).reshape(-1)),
-        ]
-    )
-    token, nbits, mant = tokenize(values)
+        values = jnp.concatenate(
+            [
+                acs.reshape(-1).astype(jnp.uint32),  # small non-negative ids
+                qf_idx.reshape(-1).astype(jnp.uint32),
+                zigzag_map(jnp.concatenate(cfl_idx)),
+                zigzag_map(dc_res.reshape(-1)),
+                # z-major ([3, 63, nb]): contexts form long contiguous runs,
+                # the property the grouped rANS layer requires (layout.py).
+                zigzag_map(ac_zz.transpose(0, 2, 1).reshape(-1)),
+            ]
+        )
+        token, nbits, mant = tokenize(values)
 
-    # Per-context histogram as a one-hot matmul (MXU): a scatter-add into
-    # 960 bins costs ~15 ms at 1.19M tokens on v5e, the matmul ~5 ms.
-    # bf16 0/1 inputs with f32 accumulation are exact below 2^24 counts.
-    ctx = jnp.asarray(lay["ctx"])
-    ctx_oh = (ctx[None, :] == jnp.arange(N_CTX)[:, None]).astype(jnp.bfloat16)
-    tok_oh = (token[:, None] == jnp.arange(ALPHABET)[None, :]).astype(jnp.bfloat16)
-    counts = jnp.dot(ctx_oh, tok_oh, preferred_element_type=jnp.float32).astype(
-        jnp.int32
-    )
+        # Per-context histogram as a one-hot matmul (MXU): a scatter-add
+        # into the bins costs ~15 ms at 1.19M tokens on v5e, the matmul
+        # ~5 ms. bf16 0/1 inputs with f32 accumulation are exact below
+        # 2^24 counts.
+        ctx = jnp.asarray(lay["ctx"])
+        ctx_oh = (ctx[None, :] == jnp.arange(N_CTX)[:, None]).astype(jnp.bfloat16)
+        tok_oh = (token[:, None] == jnp.arange(ALPHABET)[None, :]).astype(
+            jnp.bfloat16
+        )
+        counts = jnp.dot(
+            ctx_oh, tok_oh, preferred_element_type=jnp.float32
+        ).astype(jnp.int32)
+        return token, nbits, mant, counts
+
+    token, nbits, mant, counts = one_pass(None)
+    if effort >= 8:
+        # TWO-PASS rate model (cjxl's higher efforts analog): re-run the
+        # AC-strategy search with MEASURED per-symbol rANS bit costs from
+        # the first pass's own histograms instead of the 2*log2(1+|q|)
+        # proxy — merge/split decisions then optimize the image's actual
+        # coded size. e8 and e9 therefore produce different (better-RD)
+        # bitstreams than e7 even where the transform ladders agree.
+        token, nbits, mant, counts = one_pass(_bits_lut_grid(counts))
     return token, nbits, mant, counts
+
+
+def _bits_lut_grid(counts: jnp.ndarray) -> jnp.ndarray:
+    """[3, 8, 8, A] measured bit cost per (storage position, symbol):
+    rANS cost log2(M / freq) under the image's quantized first-pass
+    histograms, plus the token's mantissa bits. Position -> context uses
+    the same zigzag-band map the token layout codes with; the (0, 0) slot
+    is never coded (DC plane / merged LLF) so its row costs zero."""
+    from jxl_tpu.codec.layout import N_BANDS, ac_band_table
+    from jxl_tpu.entropy.rans import RANS_M, quantize_histograms_t
+    from jxl_tpu.entropy.tokens import token_nbits
+    from jxl_tpu.transforms.dct import zigzag_order
+
+    freq, _cum = quantize_histograms_t(counts)
+    sym_bits = jnp.log2(RANS_M / jnp.maximum(freq.astype(jnp.float32), 1.0))
+    sym_bits = sym_bits + token_nbits(jnp.arange(ALPHABET))[None, :].astype(
+        jnp.float32
+    )  # [C, A]
+
+    zz = zigzag_order(8, 8)  # [64] flat index per zigzag position
+    inv = np.argsort(zz)  # flat index -> zigzag position
+    band = ac_band_table()  # [63] band per zigzag position 1..63
+    ctx_grid = np.zeros((3, 8, 8), np.int32)
+    for c in range(3):
+        for flat in range(64):
+            p = int(inv[flat])
+            if p > 0:
+                ctx_grid[c, flat // 8, flat % 8] = 3 + c * N_BANDS + int(band[p - 1])
+    lut = sym_bits[jnp.asarray(ctx_grid)]  # [3, 8, 8, A]
+    return lut.at[:, 0, 0, :].set(0.0)
 
 
 _encode_stage1 = partial(

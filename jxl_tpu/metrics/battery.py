@@ -62,8 +62,7 @@ def _ms_ssim_t(a, b, max_value: float = 255.0):
     return out
 
 
-@jax.jit
-def _battery(orig_u8, comp_u8):
+def _battery_core(orig_u8, comp_u8):
     a = jnp.asarray(orig_u8)
     b = jnp.asarray(comp_u8)
     d = a.astype(jnp.float32) - b.astype(jnp.float32)
@@ -83,6 +82,46 @@ def _battery(orig_u8, comp_u8):
     return jnp.stack([mse, ssim, ms_ssim, ba_max, ba_p3, s2_err])
 
 
+_battery = jax.jit(_battery_core)
+
+
+@jax.jit
+def _battery_grid(orig_u8, comp_stack):
+    """Battery for a whole RD row against one original: [N, H, W, 3]
+    decoded stack -> [N, 6]. lax.map keeps one compiled body and runs the
+    points device-sequentially — ONE dispatch + one [N, 6] fetch for the
+    row instead of N of each (each slice/dispatch costs a ~25 ms
+    round-trip on the tunneled TPU)."""
+    return jax.lax.map(lambda c: _battery_core(orig_u8, c), comp_stack)
+
+
+def _metrics_dict(v) -> dict:
+    mse = float(v[0])
+    return {
+        "mse": mse,
+        "psnr": psnr_from_mse(mse),
+        "ssim": float(v[1]),
+        "ms_ssim": float(v[2]),
+        "butteraugli": float(v[3]),
+        "butteraugli_pnorm": float(v[4]),
+        "ssimulacra2": 100.0 - _S2_GAIN * max(float(v[5]) - 2e-3, 0.0) ** _S2_POW,
+    }
+
+
+def metric_battery_grid_async(orig, comp_stack):
+    """Dispatch the whole-row battery now; returns finalize() -> list of
+    metric dicts (one per row point)."""
+    vecs = _battery_grid(orig, comp_stack)
+
+    def finalize() -> list:
+        from jxl_tpu.utils.jax_setup import ready_get
+
+        v = ready_get(vecs)
+        return [_metrics_dict(v[i]) for i in range(v.shape[0])]
+
+    return finalize
+
+
 def metric_battery_async(orig, comp):
     """Dispatch the battery now; returns finalize() -> metrics dict.
 
@@ -94,18 +133,7 @@ def metric_battery_async(orig, comp):
     def finalize() -> dict:
         from jxl_tpu.utils.jax_setup import ready_get
 
-        v = ready_get(vec)
-        mse = float(v[0])
-        return {
-            "mse": mse,
-            "psnr": psnr_from_mse(mse),
-            "ssim": float(v[1]),
-            "ms_ssim": float(v[2]),
-            "butteraugli": float(v[3]),
-            "butteraugli_pnorm": float(v[4]),
-            "ssimulacra2": 100.0
-            - _S2_GAIN * max(float(v[5]) - 2e-3, 0.0) ** _S2_POW,
-        }
+        return _metrics_dict(ready_get(vec))
 
     return finalize
 

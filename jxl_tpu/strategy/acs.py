@@ -41,6 +41,8 @@ handful of masked selects over tiny tables, XLA-fusible at any image size.
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -121,18 +123,36 @@ def sub8_step_grids(distance) -> jnp.ndarray:
 
 def merged_step_slots(distance, n: int) -> jnp.ndarray:
     """[3, k, k, 8, 8] per-sub-block step grids of the n x n transform
-    (k = n//8): sub-block (ky, kx) holds the [ky*8:+8, kx*8:+8] tile of the
-    n x n step table — the same scheme candidates_merged uses for the
-    coefficients themselves."""
+    (k = n//8) in the same STRIDED mapping as candidates_merged:
+    slot (ky, kx)[u, v] = S[u*k + ky, v*k + kx]."""
     k = n // 8
     s = ac_steps_t(distance, n, n)
-    return s.reshape(3, k, 8, k, 8).transpose(0, 1, 3, 2, 4)
+    return s.reshape(3, 8, k, 8, k).transpose(0, 2, 4, 1, 3)
 
 
 def _rate_bits(q: jnp.ndarray, axes) -> jnp.ndarray:
     """Rate proxy in bits over the given axes (q: int32 quantized coeffs)."""
     aq = jnp.abs(q).astype(jnp.float32)
     return jnp.sum(2.0 * jnp.log2(1.0 + aq) + NONZERO_BITS * (aq > 0), axis=axes)
+
+
+def _rate_bits_lut(q: jnp.ndarray, bit_lut: jnp.ndarray, axes) -> jnp.ndarray:
+    """MEASURED rate in bits: per coefficient, the actual rANS cost of its
+    hybrid-uint token under the image's own histograms plus its mantissa
+    bits. bit_lut: [3, 8, 8, A] (storage position -> per-symbol bits, from
+    encode._bits_lut_grid). q: [..., 3, y, x, (k, k,) 8, 8] — the LUT
+    broadcasts over the middle axes. The one-hot reduce fuses (iota-compare
+    feeding a reduction never materializes in XLA)."""
+    from jxl_tpu.entropy.tokens import ALPHABET, tokenize, zigzag_map
+
+    sym, _, _ = tokenize(zigzag_map(q))
+    a = jnp.arange(ALPHABET, dtype=jnp.int32)
+    oh = (sym[..., None] == a).astype(jnp.float32)
+    # reshape LUT to broadcast against q's shape: [3, 1.., 8, 8, A]
+    extra = q.ndim - 3  # middle axes between channel and the 8x8
+    lut = bit_lut.reshape((3,) + (1,) * extra + (8, 8, ALPHABET))
+    per_coeff = jnp.sum(oh * lut, axis=-1)
+    return jnp.sum(per_coeff, axis=axes)
 
 
 def _mask_dc_slot(storage: jnp.ndarray) -> jnp.ndarray:
@@ -185,11 +205,23 @@ def candidates_sub8(blocks: jnp.ndarray) -> dict:
 
 
 def candidates_merged(planes: jnp.ndarray, n: int) -> jnp.ndarray:
-    """n x n DCT (n in {16, 32}) over aligned groups.
+    """n x n DCT (n in {16..256}) over aligned groups.
 
     planes: [3, Hp, Wp] with Hp, Wp multiples of 8. Returns storage slots
-    [3, gby, gbx, n//8, n//8, 8, 8] (low-frequency (n/8)x(n/8) corner zeroed)
-    for the floor-aligned full groups.
+    [3, gby, gbx, k, k, 8, 8] (k = n//8) in the STRIDED (decimated)
+    coefficient mapping: slot (ky, kx)[u, v] = C[u*k + ky, v*k + kx].
+
+    Why strided, not contiguous 8x8 tiles: the token layout codes only
+    zigzag positions 1..63 of every block's storage — each sub-block's
+    (0, 0) slot is NEVER coded (the DC plane stands in for it). Under the
+    strided map the k x k (0, 0) slots are exactly C[:k, :k], the
+    low-frequency corner the decoder rebuilds from the DC plane — so
+    nothing real is dropped (a contiguous-tile map would silently zero the
+    k^2 - 1 coefficients C[8ky, 8kx]). It also makes each slot's (u, v)
+    approximate the same normalized frequency as an 8x8 block's (u, v),
+    so the zigzag-band entropy contexts stay meaningful for merged blocks
+    — this is the same reasoning behind libjxl's scattered coefficient
+    storage for big transforms.
     """
     k = n // 8
     h, w = planes.shape[-2:]
@@ -198,19 +230,19 @@ def candidates_merged(planes: jnp.ndarray, n: int) -> jnp.ndarray:
     tiles = region.reshape(3, gby, n, gbx, n).transpose(0, 1, 3, 2, 4)
     c = dct2d(tiles)  # [3, gby, gbx, n, n]
     c = c.at[..., :k, :k].set(0.0)  # lowfreq rebuilt from DC plane at decode
-    return c.reshape(3, gby, gbx, k, 8, k, 8).transpose(0, 1, 2, 3, 5, 4, 6)
+    return c.reshape(3, gby, gbx, 8, k, 8, k).transpose(0, 1, 2, 4, 6, 3, 5)
 
 
 def reassemble_merged(slots: jnp.ndarray, dc_block: jnp.ndarray) -> jnp.ndarray:
     """Inverse of candidates_merged + lowfreq injection.
 
-    slots: [3, gby, gbx, k, k, 8, 8] dequantized storages,
+    slots: [3, gby, gbx, k, k, 8, 8] dequantized storages (strided map),
     dc_block: [3, gby, gbx, k, k] dequantized DC-plane values of the group.
     Returns pixel tiles [3, gby, gbx, n, n].
     """
     k = slots.shape[3]
     n = k * 8
-    c = slots.transpose(0, 1, 2, 3, 5, 4, 6).reshape(*slots.shape[:3], n, n)
+    c = slots.transpose(0, 1, 2, 5, 3, 6, 4).reshape(*slots.shape[:3], n, n)
     llf = dct2d(dc_block)  # [3, gby, gbx, k, k]
     c = c.at[..., :k, :k].set(llf)
     return idct2d(c)
@@ -238,6 +270,7 @@ def search_acs(
     hook_a: bool,
     hook_b: bool,
     qf_mul: jnp.ndarray | None = None,
+    bit_lut: jnp.ndarray | None = None,
 ):
     """Full AC-strategy search. Returns (acs [nby, nbx] int32,
     storage [3, nby, nbx, 8, 8] float32 of the selected strategies,
@@ -250,7 +283,17 @@ def search_acs(
       candidate's top-left 8x8 block (factored-entropy.diff:248-254); at the
       8x8 level the factor is common to all candidates so — exactly like the
       C++ — it bites on merge decisions.
+
+    bit_lut (efforts >= 8, see encode.tokens_from_rgb): replaces the
+    2*log2(1+|q|) proxy with MEASURED per-symbol rANS bit costs from the
+    image's own first-pass histograms — the libjxl-style two-pass rate
+    model the round-1 review asked for (VERDICT item 8).
     """
+    rate = (
+        _rate_bits
+        if bit_lut is None
+        else partial(_rate_bits_lut, bit_lut=bit_lut)
+    )
     nby, nbx = blocks.shape[1], blocks.shape[2]
     sub8_steps = sub8_step_grids(distance)
     if qf_mul is None:
@@ -270,7 +313,7 @@ def search_acs(
         steps = sub8_steps[sid][:, None, None] * qf_mul[None, :, :, None, None]
         qc = jnp.round(storage / steps).astype(jnp.int32)
         qcands[sid] = qc
-        c = _rate_bits(qc, axes=(0, -2, -1)) * ENTROPY_MUL[sid]  # [nby, nbx]
+        c = rate(qc, axes=(0, -2, -1)) * ENTROPY_MUL[sid]  # [nby, nbx]
         if hook_b:
             c = c * 0.8 * bfac
         costs[sid] = c
@@ -305,7 +348,7 @@ def search_acs(
         qslots = jnp.round(
             slots / (step_slots * gmul[None, :, :, None, None, None, None])
         ).astype(jnp.int32)
-        cost_m = _rate_bits(qslots, axes=(0, -4, -3, -2, -1)) * ENTROPY_MUL[sid]
+        cost_m = rate(qslots, axes=(0, -4, -3, -2, -1)) * ENTROPY_MUL[sid]
         if hook_b:
             bf_g = bfac[: gby * k : k, : gbx * k : k]  # top-left block factor
             cost_m = cost_m * 0.8 * bf_g

@@ -57,9 +57,17 @@ def test_merged_candidates_shape_and_lowfreq():
     planes = _planes(64, 96)
     slots16 = candidates_merged(planes, 16)
     assert slots16.shape == (3, 4, 6, 2, 2, 8, 8)
-    # lowfreq 2x2 of C16 zeroed => stored at quadrant (0,0) positions (0..1, 0..1)
+    # strided map: the zeroed lowfreq corner C[:2, :2] lands exactly on the
+    # (0, 0) slot of every sub-block — the one position the token layout
+    # never codes (the DC plane stands in for it)
     s = np.asarray(slots16)
-    assert np.allclose(s[:, :, :, 0, 0, :2, :2], 0.0)
+    assert np.allclose(s[:, :, :, :, :, 0, 0], 0.0)
+    # and nothing else was zeroed: slot (ky,kx)[u,v] == C[u*2+ky, v*2+kx]
+    from jxl_tpu.transforms.dct import dct2d as _d
+
+    tiles = planes[:, :64, :96].reshape(3, 4, 16, 6, 16).transpose(0, 1, 3, 2, 4)
+    c = np.asarray(_d(tiles))
+    np.testing.assert_allclose(s[0, 0, 0, 1, 0, 3, 2], c[0, 0, 0, 3 * 2 + 1, 2 * 2 + 0], rtol=1e-5)
 
 
 def test_merged_roundtrip_exact_on_smooth():
@@ -188,6 +196,21 @@ def test_effort_gates_block_sizes():
     # a merge the proxy likes can cost slightly more real rANS bits)
     assert sizes[7] <= sizes[5] + 128
     assert sizes[5] <= sizes[3] + 128
+
+
+def test_two_pass_rate_model_improves_e8():
+    """Effort >= 8 re-runs the AC-strategy search with measured per-symbol
+    bit costs (two-pass); on textured content this must produce a
+    different, never-larger bitstream than the proxy-driven e7 at the same
+    quality (VERDICT r1 item 8)."""
+    img = make_test_image(96, 128, seed=5)
+    d7 = encode_image(img, CodecConfig(distance=1.0, effort=7))
+    d8 = encode_image(img, CodecConfig(distance=1.0, effort=8))
+    assert d7[64:] != d8[64:]  # differ beyond the header bytes
+    assert len(d8) <= len(d7) + 16
+    out7 = decode_bytes(d7)
+    out8 = decode_bytes(d8)
+    assert abs(calculate_psnr(img, out8) - calculate_psnr(img, out7)) < 1.0
 
 
 def test_flat_image_with_merges_is_tiny_and_exact():

@@ -74,9 +74,25 @@ def main():
     step_ctx = jnp.asarray(lay["step_ctx"])
 
     enc = jax.jit(lambda t: rans_encode_grouped(t, step_ctx, freqj, cumj, lanes))
-    timeit("rANS encode (grouped scan)", lambda: enc(tokp))
+    timeit("rANS encode XLA (grouped scan)", lambda: enc(tokp))
     packf = jax.jit(lambda nb, m: pack_mantissa_grouped(nb, m, lanes, cap))
-    timeit("mantissa pack (grouped)", lambda: packf(nbp, mantp))
+    timeit("mantissa pack XLA (grouped)", lambda: packf(nbp, mantp))
+
+    from jxl_tpu.codec.encode import _encode_full, _use_pallas_enc
+
+    kw = dict(
+        height=h, width=w, effort=7, hook_a=False, hook_b=False,
+        lanes=lanes, cap_bytes=cap,
+    )
+    timeit(
+        "full encode device (XLA tail)",
+        lambda: _encode_full(rgb, jnp.float32(1.0), pallas_enc=False, **kw),
+    )
+    if _use_pallas_enc(lanes, lay["T"]):
+        timeit(
+            "full encode device (Mosaic kernel)",
+            lambda: _encode_full(rgb, jnp.float32(1.0), pallas_enc=True, **kw),
+        )
 
     t_full = timeit("full encode (single, incl host)", lambda: encode_image(img, cfg), iters=3)
     jobs = [(img, cfg, "")] * 8
