@@ -18,7 +18,8 @@ Layout (all little-endian):
   u32     n_tokens
   u8      n_ctx
   u8      alphabet (A)
-  per-ctx frequency tables     (raw u16 row or sparse, see _pack_freq_tables)
+  u8      n_clusters (v6+); u8[n_ctx] cluster map
+  per-CLUSTER frequency tables (raw u16 row or sparse, see _pack_freq_tables)
   u32[K]  per-lane final rANS states
   u32     n_stream_words; u16[n_stream_words] rANS words (ragged lanes concat)
   u32     n_mant_bytes; u8[n_mant_bytes] mantissa bytes (LE per value)
@@ -36,7 +37,10 @@ MAGIC = b"JXT1"
 # v4: consumption-order rANS stream (no per-lane lens)
 # v5: grouped streams — per-128-lane-group word/mantissa segments with
 #     per-group counts; z-major AC token order; K-padded context runs
-VERSION = 5
+# v6: clustered context models — u8 n_clusters + u8[n_ctx] cluster map,
+#     then n_clusters deduplicated freq tables (entropy/cluster.py); the
+#     decoder expands freq[c] = tables[map[c]]. v5 still readable.
+VERSION = 6
 
 
 def _pack_freq_tables(freq: np.ndarray) -> bytes:
@@ -141,7 +145,17 @@ def write_container(s: JxtStream) -> bytes:
         ),
         name_b,
         struct.pack("<HIBB", h.lanes, h.n_tokens, h.n_ctx, h.alphabet),
-        _pack_freq_tables(s.freq),
+    ]
+    # Clustered tables (v6): identical rows (produced by the encoder's
+    # on-device histogram clustering) are signaled once. np.unique's row
+    # sort is deterministic; the map restores per-context order.
+    tables, cmap = np.unique(np.asarray(s.freq), axis=0, return_inverse=True)
+    out += [
+        struct.pack("<B", len(tables)),
+        cmap.astype("<u1").tobytes(),
+        _pack_freq_tables(tables),
+    ]
+    out += [
         s.states.astype("<u4").tobytes(),
         np.asarray(s.wcounts, dtype="<u4").tobytes(),
         np.asarray(s.mcounts, dtype="<u4").tobytes(),
@@ -161,13 +175,21 @@ def read_container(data: bytes) -> JxtStream:
     version, height, width, distance, effort, strategy, flags, name_len = struct.unpack_from(
         "<BIIfBBBH", data, off
     )
-    assert version == VERSION
+    assert version in (5, VERSION)
     off += struct.calcsize("<BIIfBBBH")
     orig_name = data[off : off + name_len].decode("utf-8")
     off += name_len
     lanes, n_tokens, n_ctx, alphabet = struct.unpack_from("<HIBB", data, off)
     off += struct.calcsize("<HIBB")
-    freq, off = _unpack_freq_tables(data, off, n_ctx, alphabet)
+    if version >= 6:
+        n_clusters = data[off]
+        off += 1
+        cmap = np.frombuffer(data, dtype="<u1", count=n_ctx, offset=off)
+        off += n_ctx
+        tables, off = _unpack_freq_tables(data, off, n_clusters, alphabet)
+        freq = tables[cmap]
+    else:
+        freq, off = _unpack_freq_tables(data, off, n_ctx, alphabet)
     states = np.frombuffer(data, dtype="<u4", count=lanes, offset=off).astype(np.uint32)
     off += lanes * 4
     n_groups = lanes // 128

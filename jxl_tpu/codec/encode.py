@@ -37,6 +37,7 @@ from jxl_tpu.entropy.grouped import (
     pack_mantissa_grouped,
     rans_encode_grouped,
 )
+from jxl_tpu.entropy.cluster import cluster_histograms
 from jxl_tpu.entropy.rans import quantize_histograms_t
 from jxl_tpu.entropy.tokens import (
     ALPHABET,
@@ -61,6 +62,14 @@ def _ac_deadzone() -> float:
     import os
 
     return float(os.environ.get("JXL_TPU_DEADZONE", "0.12"))
+
+
+def _use_clustering() -> bool:
+    """Histogram clustering on by default; JXL_TPU_NO_CLUSTER=1 reverts to
+    one table per static context (A/B + debugging)."""
+    import os
+
+    return not os.environ.get("JXL_TPU_NO_CLUSTER")
 
 
 def _quantize_ac(x: jnp.ndarray, steps: jnp.ndarray) -> jnp.ndarray:
@@ -345,7 +354,14 @@ def _entropy_and_pack(
     pad_counts = np.zeros((N_CTX, ALPHABET), np.int32)
     for c, _dst, n_real, n_pad in lay["spans"]:
         pad_counts[c, 0] += n_pad - n_real
-    freq, cum = quantize_histograms_t(counts + jnp.asarray(pad_counts))
+    counts_total = counts + jnp.asarray(pad_counts)
+    if _use_clustering():
+        # libjxl-style clustered context models: merge histograms on device
+        # while the merge shrinks the file (entropy/cluster.py). Rows become
+        # identical within a cluster; the container writer dedupes them into
+        # n_clusters signaled tables + a [C] map (container v6).
+        counts_total, _cmap = cluster_histograms(counts_total)
+    freq, cum = quantize_histograms_t(counts_total)
 
     n_padded = lay["n_padded"]
     tokp = jnp.zeros((n_padded,), jnp.int32)
