@@ -200,18 +200,7 @@ def tokens_from_rgb(
         )
         token, nbits, mant = tokenize(values)
 
-        # Per-context histogram as a one-hot matmul (MXU): a scatter-add
-        # into the bins costs ~15 ms at 1.19M tokens on v5e, the matmul
-        # ~5 ms. bf16 0/1 inputs with f32 accumulation are exact below
-        # 2^24 counts.
-        ctx = jnp.asarray(lay["ctx"])
-        ctx_oh = (ctx[None, :] == jnp.arange(N_CTX)[:, None]).astype(jnp.bfloat16)
-        tok_oh = (token[:, None] == jnp.arange(ALPHABET)[None, :]).astype(
-            jnp.bfloat16
-        )
-        counts = jnp.dot(
-            ctx_oh, tok_oh, preferred_element_type=jnp.float32
-        ).astype(jnp.int32)
+        counts = _histogram_mxu(token, lay["ctx"])
         return token, nbits, mant, counts
 
     token, nbits, mant, counts = one_pass(None)
@@ -224,6 +213,32 @@ def tokens_from_rgb(
         # bitstreams than e7 even where the transform ladders agree.
         token, nbits, mant, counts = one_pass(_bits_lut_grid(counts))
     return token, nbits, mant, counts
+
+
+# Token-chunk size for the histogram one-hot matmul: bounds the [nc, A]
+# bf16 one-hot operand to ~0.4 GB so gigapixel token streams (51M tokens at
+# 4096x4096) don't materialize a multi-GB intermediate. Common image sizes
+# stay single-chunk (identical program to the unchunked form).
+HIST_CHUNK = 4 * 1024 * 1024
+
+
+def _histogram_mxu(token: jnp.ndarray, ctx_np: np.ndarray) -> jnp.ndarray:
+    """Per-context histogram as a one-hot matmul (MXU): a scatter-add into
+    the bins costs ~15 ms at 1.19M tokens on v5e, the matmul ~5 ms. bf16
+    0/1 inputs with f32 accumulation are exact below 2^24 counts."""
+    n = token.shape[0]
+    counts = jnp.zeros((N_CTX, ALPHABET), jnp.float32)
+    for s in range(0, n, HIST_CHUNK):
+        e = min(s + HIST_CHUNK, n)
+        ctx_c = jnp.asarray(ctx_np[s:e])
+        ctx_oh = (ctx_c[None, :] == jnp.arange(N_CTX)[:, None]).astype(jnp.bfloat16)
+        tok_oh = (token[s:e, None] == jnp.arange(ALPHABET)[None, :]).astype(
+            jnp.bfloat16
+        )
+        counts = counts + jnp.dot(
+            ctx_oh, tok_oh, preferred_element_type=jnp.float32
+        )
+    return counts.astype(jnp.int32)
 
 
 def _bits_lut_grid(counts: jnp.ndarray) -> jnp.ndarray:
@@ -335,6 +350,57 @@ def _concat_segments(buckets, counts, cap: int, out_len: int):
     return out
 
 
+# Block-packed section geometry (see _entropy_and_pack): one block is 1024
+# u32 slots holding 2048 u16 words (WBLK) or 4096 mantissa bytes (MBLK) in a
+# sublane-permuted order the host inverts with numpy reshapes.
+BLK_U32 = 1024
+WBLK = 2048
+MBLK = 4096
+
+
+def _pack_u16_blocks(w: jnp.ndarray) -> jnp.ndarray:
+    """u16[L] -> u32[ceil(L/2048)*1024]. Block m's u32 (j, l) slot packs
+    source elements (m, j, l) | (m, j+8, l) << 16 of the layout-exact
+    [m, 16, 128] view — no minor-dim-2 relayout, no tile padding."""
+    L = w.shape[0]
+    Lp = -(-L // WBLK) * WBLK
+    if Lp != L:
+        w = jnp.concatenate([w, jnp.zeros((Lp - L,), w.dtype)])
+    ws = w.reshape(-1, 16, 128).astype(jnp.uint32)
+    return (ws[:, :8] | (ws[:, 8:] << 16)).reshape(-1)
+
+
+def _pack_u8_blocks(m: jnp.ndarray) -> jnp.ndarray:
+    """byte-valued u32[C] -> u32[ceil(C/4096)*1024]. Block m's u32 (j, l)
+    slot packs bytes (m, j + 8k, l) << 8k, k = 0..3, of the [m, 32, 128]
+    view."""
+    C = m.shape[0]
+    Cp = -(-C // MBLK) * MBLK
+    if Cp != C:
+        m = jnp.concatenate([m, jnp.zeros((Cp - C,), m.dtype)])
+    ms = m.reshape(-1, 32, 128).astype(jnp.uint32) & jnp.uint32(0xFF)
+    return (
+        ms[:, :8] | (ms[:, 8:16] << 8) | (ms[:, 16:24] << 16) | (ms[:, 24:32] << 24)
+    ).reshape(-1)
+
+
+def _unpack_u16_blocks_np(sec: np.ndarray, n: int) -> bytes:
+    """Host inverse of _pack_u16_blocks: u32[blocks*1024] -> first n u16s
+    as little-endian bytes."""
+    v = sec.reshape(-1, 8, 128).astype(np.uint32)
+    w16 = np.concatenate([v & 0xFFFF, v >> 16], axis=1).astype("<u2").reshape(-1)
+    return w16[:n].tobytes()
+
+
+def _unpack_u8_blocks_np(sec: np.ndarray, n: int) -> bytes:
+    """Host inverse of _pack_u8_blocks: u32[blocks*1024] -> first n bytes."""
+    v = sec.reshape(-1, 8, 128).astype(np.uint32)
+    b = np.concatenate(
+        [(v >> (8 * k)) & 0xFF for k in range(4)], axis=1
+    ).astype(np.uint8).reshape(-1)
+    return b[:n].tobytes()
+
+
 def _entropy_and_pack(
     token, nbits, mant, counts, lay, lanes: int, cap_bytes: int, pallas_enc: bool = False
 ):
@@ -397,18 +463,17 @@ def _entropy_and_pack(
     total_bytes = jnp.sum(mcounts)
 
     hdr = _packed_header_u32(lanes)
-    # bitcast packing: strided-slice shift/or packing costs ~38 ms at this
-    # scale (layout-hostile); reshape+bitcast is ~5 ms and matches the
-    # host's little-endian "<u4" view exactly.
-    w = words
-    if w.shape[0] % 2:
-        w = jnp.concatenate([w, jnp.zeros((1,), jnp.uint16)])
-    w2 = jax.lax.bitcast_convert_type(w.reshape(-1, 2), jnp.uint32)
-    m = mant_arr.astype(jnp.uint8)
-    pad4 = (-m.shape[0]) % 4
-    if pad4:
-        m = jnp.concatenate([m, jnp.zeros((pad4,), jnp.uint8)])
-    m4 = jax.lax.bitcast_convert_type(m.reshape(-1, 4), jnp.uint32)
+    # Sublane-BLOCK packing (2 u16 / 4 bytes per u32 slot): a naive
+    # reshape(-1, 2|4) + bitcast puts the pack axis in the minor (lane)
+    # dimension, which TPU tiling pads to 128 — a 32-64x memory blowup
+    # that OOMs HBM at gigapixel scale (u32[38M, 4] alone would pad to
+    # 19.5 GB for a 4096x4096 image). Instead both sections are stored in
+    # 1024-u32 BLOCKS whose halves/quarters are SUBLANE row groups of the
+    # natural [*, 8|16|32, 128] view — every reshape is layout-exact and
+    # the combine is an elementwise shift/or over row slices. The host
+    # inverts the block permutation with numpy (see _parse_packed).
+    w2 = _pack_u16_blocks(words)
+    m4 = _pack_u8_blocks(mant_arr)
 
     G = lanes // GROUP
     counts8 = jnp.zeros((8,), jnp.uint32)
@@ -424,8 +489,9 @@ def _entropy_and_pack(
     buf = jax.lax.dynamic_update_slice(buf, freq.reshape(-1).astype(jnp.uint32), (18,))
     buf = jax.lax.dynamic_update_slice(buf, states.astype(jnp.uint32), (18 + N_CTX * ALPHABET,))
     buf = jax.lax.dynamic_update_slice(buf, w2, (hdr,))
-    n_w2 = (n_words.astype(jnp.int32) + 1) // 2
-    buf = jax.lax.dynamic_update_slice(buf, m4, (hdr + n_w2,))
+    # mantissa blocks start right after the USED word blocks (block-rounded)
+    n_wblk = (n_words.astype(jnp.int32) + WBLK - 1) // WBLK
+    buf = jax.lax.dynamic_update_slice(buf, m4, (hdr + n_wblk * BLK_U32,))
     return buf
 
 
@@ -520,7 +586,8 @@ def _first_get_u32(lanes: int, n_px: int, lossless: bool = False) -> int:
     payload window covering ~4 bpp lossy / ~14 bpp lossless. Bigger streams
     trigger one extra tail fetch."""
     bpp_u32 = n_px // 2 if lossless else n_px // 8
-    return _packed_header_u32(lanes) + bpp_u32 + 4096
+    # + 2*BLK_U32: worst-case block rounding of the words + mantissa sections
+    return _packed_header_u32(lanes) + bpp_u32 + 4096 + 2 * BLK_U32
 
 
 def _parse_packed(got: np.ndarray, buf, lanes: int):
@@ -532,16 +599,16 @@ def _parse_packed(got: np.ndarray, buf, lanes: int):
     G = lanes // GROUP
     wcounts = got[2 : 2 + G].astype(np.uint32)
     mcounts = got[10 : 10 + G].astype(np.uint32)
-    n_w2 = (n_words + 1) // 2
-    n_m4 = (total_bytes + 3) // 4
-    need = hdr + n_w2 + n_m4
+    ws_used = ((n_words + WBLK - 1) // WBLK) * BLK_U32
+    ms_used = ((total_bytes + MBLK - 1) // MBLK) * BLK_U32
+    need = hdr + ws_used + ms_used
     if need > got.shape[0]:
         tail = ready_get(jax.lax.slice(buf, (got.shape[0],), (need,)))
         got = np.concatenate([got, tail])
     freq = got[18 : 18 + N_CTX * ALPHABET].reshape(N_CTX, ALPHABET)
     states = got[18 + N_CTX * ALPHABET : hdr]
-    words_b = got[hdr : hdr + n_w2].astype("<u4").tobytes()[: 2 * n_words]
-    mant_b = got[hdr + n_w2 : need].astype("<u4").tobytes()[:total_bytes]
+    words_b = _unpack_u16_blocks_np(got[hdr : hdr + ws_used], n_words)
+    mant_b = _unpack_u8_blocks_np(got[hdr + ws_used : need], total_bytes)
     return freq, states, words_b, mant_b, wcounts, mcounts
 
 

@@ -67,13 +67,10 @@ def lossless_tokens(rgb, *, height: int, width: int):
     values = zigzag_map(res.reshape(3, -1)).reshape(-1)
     token, nbits, mant = tokenize(values)
 
+    from jxl_tpu.codec.encode import _histogram_mxu
+
     lay = lossless_layout(height, width, 128)  # ctx field is lanes-free
-    ctx = jnp.asarray(lay["ctx"])
-    ctx_oh = (ctx[None, :] == jnp.arange(N_CTX)[:, None]).astype(jnp.bfloat16)
-    tok_oh = (token[:, None] == jnp.arange(ALPHABET)[None, :]).astype(jnp.bfloat16)
-    counts = jnp.dot(ctx_oh, tok_oh, preferred_element_type=jnp.float32).astype(
-        jnp.int32
-    )
+    counts = _histogram_mxu(token, lay["ctx"])
     return token, nbits, mant, counts
 
 

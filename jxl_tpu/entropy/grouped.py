@@ -102,6 +102,15 @@ def _group_order_targets(fire, lanes: int):
     return tgt, counts
 
 
+# Step-chunk size for the encoder's one-hot (f, c) precompute: the [Tc, K, A]
+# f32 one-hot materializes as the einsum operand, so chunking bounds it to
+# ~0.4 GB (8192 steps x 256 lanes x 52 syms x 4 B x 2) — without it a
+# 4096x4096 image's 51M-token stream would need >10 GB at once. Streams with
+# T <= ENC_CHUNK_T (every common image size) compile to the identical
+# single-scan program as before.
+ENC_CHUNK_T = 8192
+
+
 def rans_encode_grouped(tokens, step_ctx, freq, cum, lanes: int):
     """Encode a PADDED token stream (length T*lanes, every position real).
 
@@ -117,21 +126,6 @@ def rans_encode_grouped(tokens, step_ctx, freq, cum, lanes: int):
     # (f, c) per token: one-hot select against the step's streamed row —
     # MXU work instead of a per-token table gather.
     rows_f, rows_c = context_rows(step_ctx, freq, cum)
-    oh = (tok[:, :, None] == jnp.arange(a)[None, None, :]).astype(jnp.float32)
-    f_all = jnp.einsum(
-        "tka,ta->tk",
-        oh,
-        rows_f.astype(jnp.float32),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    ).astype(jnp.uint32)
-    c_all = jnp.einsum(
-        "tka,ta->tk",
-        oh,
-        rows_c.astype(jnp.float32),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    ).astype(jnp.uint32)
 
     def step(states, inp):
         f, c = inp
@@ -142,10 +136,39 @@ def rans_encode_grouped(tokens, step_ctx, freq, cum, lanes: int):
         x = ((x // f) << RANS_PRECISION) + (x % f) + c
         return x, (word, emit)
 
+    def chunk(states, tok_c, rf, rc):
+        oh = (tok_c[:, :, None] == jnp.arange(a)[None, None, :]).astype(jnp.float32)
+        f_all = jnp.einsum(
+            "tka,ta->tk",
+            oh,
+            rf.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        ).astype(jnp.uint32)
+        c_all = jnp.einsum(
+            "tka,ta->tk",
+            oh,
+            rc.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        ).astype(jnp.uint32)
+        return jax.lax.scan(step, states, (f_all, c_all), reverse=True, unroll=8)
+
     init = jnp.full((lanes,), RANS_L, dtype=jnp.uint32)
-    states, (words, emits) = jax.lax.scan(
-        step, init, (f_all, c_all), reverse=True, unroll=8
-    )
+    starts = list(range(0, T, ENC_CHUNK_T))
+    if len(starts) == 1:
+        states, (words, emits) = chunk(init, tok, rows_f, rows_c)
+    else:
+        # rANS encodes back-to-front (reverse scan): the LAST chunk runs
+        # first from the initial states, and the carry threads backwards.
+        # Outputs stay in forward order; concatenation reassembles them.
+        states = init
+        parts: dict = {}
+        for s in reversed(starts):
+            e = min(s + ENC_CHUNK_T, T)
+            states, parts[s] = chunk(states, tok[s:e], rows_f[s:e], rows_c[s:e])
+        words = jnp.concatenate([parts[s][0] for s in starts])
+        emits = jnp.concatenate([parts[s][1] for s in starts])
 
     tgt, counts = _group_order_targets(emits, lanes)
     base = jnp.cumsum(counts) - counts  # [G] group segment bases

@@ -129,3 +129,45 @@ def test_word_counts_cover_stream():
     total = int(wcounts.sum())
     assert total <= words.shape[0]
     assert np.all(words[total:] == 0)  # only the used prefix is populated
+
+
+def test_encode_chunked_matches_single():
+    """The step-chunked encoder (ENC_CHUNK_T, used for gigapixel streams)
+    must produce the identical words/counts/states as one unchunked scan."""
+    import jxl_tpu.entropy.grouped as gr
+
+    rng = np.random.default_rng(7)
+    lanes, T = 128, 48
+    vals = rng.integers(0, 200, size=T * lanes).astype(np.uint32)
+    step_ctx = np.asarray((np.arange(T) // 16) % 3, np.int32)
+    token, _, _ = map(np.asarray, tokenize(jnp.asarray(vals)))
+    counts = np.zeros((3, 52), np.int64)
+    np.add.at(counts, (np.repeat(step_ctx, lanes), token), 1)
+    freq, cum = quantize_histograms(counts)
+    args = (jnp.asarray(token), jnp.asarray(step_ctx), jnp.asarray(freq), jnp.asarray(cum), lanes)
+
+    ref = [np.asarray(x) for x in rans_encode_grouped(*args)]
+    old = gr.ENC_CHUNK_T
+    try:
+        gr.ENC_CHUNK_T = 16  # force 3 chunks
+        got = [np.asarray(x) for x in rans_encode_grouped(*args)]
+    finally:
+        gr.ENC_CHUNK_T = old
+    for r, g in zip(ref, got):
+        np.testing.assert_array_equal(r, g)
+
+
+def test_histogram_chunked_matches_single():
+    import jxl_tpu.codec.encode as enc
+
+    rng = np.random.default_rng(3)
+    token = jnp.asarray(rng.integers(0, 52, size=5000).astype(np.int32))
+    ctx = rng.integers(0, 24, size=5000).astype(np.int32)
+    ref = np.asarray(enc._histogram_mxu(token, ctx))
+    old = enc.HIST_CHUNK
+    try:
+        enc.HIST_CHUNK = 700  # force 8 chunks
+        got = np.asarray(enc._histogram_mxu(token, ctx))
+    finally:
+        enc.HIST_CHUNK = old
+    np.testing.assert_array_equal(ref, got)
