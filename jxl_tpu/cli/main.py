@@ -44,7 +44,19 @@ def cmd_encode(args) -> int:
     )
     rgb = read_image(args.input)
     t0 = time.perf_counter()
-    size = encode_file(args.input, args.output, cfg)
+    if getattr(args, "stripes", 0):
+        import os
+
+        from jxl_tpu.codec.tiled import encode_image_striped
+
+        data = encode_image_striped(
+            rgb, cfg, n_stripes=args.stripes, orig_name=os.path.basename(args.input)
+        )
+        with open(args.output, "wb") as f:
+            f.write(data)
+        size = len(data)
+    else:
+        size = encode_file(args.input, args.output, cfg)
     dt = time.perf_counter() - t0
     mp = rgb.shape[0] * rgb.shape[1] / 1e6
     bpp = size * 8 / (rgb.shape[0] * rgb.shape[1])
@@ -163,6 +175,13 @@ def main(argv=None) -> int:
     pe = sub.add_parser("encode", help="encode an image to .jxt")
     pe.add_argument("input")
     pe.add_argument("output")
+    pe.add_argument(
+        "--stripes",
+        type=int,
+        default=0,
+        help="encode as N independent full-height stripes (JXTS gigapixel "
+        "container; 0 = single-section)",
+    )
     _add_codec_args(pe)
     pe.set_defaults(fn=cmd_encode)
 

@@ -150,7 +150,7 @@ def _use_pallas() -> bool:
     return use_pallas()
 
 
-def _decode_packed_core(packed, distance, *, height, width, lanes, epf, capw, capm, pallas, lossless=False):
+def _decode_packed_core(packed, distance, *, height, width, lanes, epf, capw, capm, pallas, lossless=False, return_planes=False):
     """Unpack the single uploaded u32 buffer and decode.
 
     Host->device layout (static offsets; capw/capm are power-of-two bucket
@@ -203,12 +203,16 @@ def _decode_packed_core(packed, distance, *, height, width, lanes, epf, capw, ca
         from jxl_tpu.codec.lossless import reconstruct_lossless
 
         return reconstruct_lossless(values, height=height, width=width)
-    return _reconstruct(values, distance, height=height, width=width, epf=epf)
+    return _reconstruct(
+        values, distance, height=height, width=width, epf=epf, return_planes=return_planes
+    )
 
 
 _decode_packed = partial(
     jax.jit,
-    static_argnames=("height", "width", "lanes", "epf", "capw", "capm", "pallas", "lossless"),
+    static_argnames=(
+        "height", "width", "lanes", "epf", "capw", "capm", "pallas", "lossless", "return_planes",
+    ),
 )(_decode_packed_core)
 
 
@@ -244,8 +248,14 @@ def _decode_packed_grid(packed_b, distances, *, height, width, lanes, epf, capw,
     return jax.lax.map(one, (packed_b, distances))
 
 
-def _reconstruct(values, distance, *, height, width, epf=True):
-    """Decoded value stream -> pixels (dequant, IDCT, CfL, EPF, colorspace)."""
+def _reconstruct(values, distance, *, height, width, epf=True, return_planes=False):
+    """Decoded value stream -> pixels (dequant, IDCT, CfL, EPF, colorspace).
+
+    return_planes=True stops BEFORE the EPF + colorspace tail and returns
+    (padded pre-EPF XYB planes [3, hp, wp] with B as Y-residual, eff_mul
+    [nby, nbx]) — the striped gigapixel decoder (codec.tiled) stitches
+    stripes in plane space and runs ONE seam-exact EPF over the full image
+    instead of per-stripe filters with replicated edges."""
     lay = token_layout(height, width)
     signed = zigzag_unmap(values)
 
@@ -296,6 +306,8 @@ def _reconstruct(values, distance, *, height, width, epf=True):
     planes = blocks.transpose(0, 1, 3, 2, 4).reshape(3, nby * 8, nbx * 8)
     for n, sid, _min_eff in MERGE_LADDER:
         planes = _overlay_merged(planes, storage, dc, acs, n, sid)
+    if return_planes:
+        return planes, eff_mul
     if epf:
         planes = epf_apply(planes, eff_mul, distance)
     planes = planes[:, :height, :width]
@@ -333,6 +345,35 @@ def decode_stream_device(stream: JxtStream):
         capm=capm,
         pallas=_use_pallas(),
         lossless=h.lossless,
+    )
+
+
+def decode_stream_planes(stream: JxtStream):
+    """JxtStream -> (pre-EPF padded XYB planes, eff_mul) device arrays.
+
+    Building block of the striped gigapixel decoder (codec.tiled): stripes
+    are stitched in plane space so EPF runs once, seam-exactly, over the
+    whole image. Lossy streams only (d=0 stripes stitch as RGB)."""
+    from jxl_tpu.entropy.pallas_rans import MANT_SLACK, WORD_SLACK
+
+    h = stream.header
+    wcounts = stream.wcounts.astype(np.int64)
+    mcounts = stream.mcounts.astype(np.int64)
+    capw = _pow2_bucket(int(wcounts.max()) + WORD_SLACK if wcounts.size else 1)
+    capm = _pow2_bucket(int(mcounts.max()) + MANT_SLACK if mcounts.size else 1)
+    packed = _pack_stream_np(stream, capw, capm)
+    return _decode_packed(
+        jnp.asarray(packed),
+        jnp.float32(h.distance),
+        height=h.height,
+        width=h.width,
+        lanes=h.lanes,
+        epf=h.epf,
+        capw=capw,
+        capm=capm,
+        pallas=_use_pallas(),
+        lossless=False,
+        return_planes=True,
     )
 
 
@@ -428,6 +469,10 @@ def decode_stream(stream: JxtStream) -> np.ndarray:
 
 
 def decode_bytes(data: bytes) -> np.ndarray:
+    if data[:4] == b"JXTS":  # striped gigapixel container (codec.tiled)
+        from jxl_tpu.codec.tiled import decode_striped_bytes
+
+        return decode_striped_bytes(data)
     return decode_stream(read_container(data))
 
 

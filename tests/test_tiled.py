@@ -1,0 +1,115 @@
+"""Striped gigapixel container (codec/tiled.py): round-trip, seam-exact
+EPF stitch, sharded-vs-sequential byte equality, wrapper parsing.
+
+Reference capability: libjxl codes images as independent 256x256 group
+sections inside one codestream (built at Dockerfile:40-43); the TPU path
+stripes the image into independent full-height sections and stitches the
+EPF at decode (BASELINE.json config 5's section structure)."""
+
+import numpy as np
+import pytest
+
+from jxl_tpu.codec.config import CodecConfig
+from jxl_tpu.codec.decode import decode_bytes
+from jxl_tpu.codec.encode import encode_image
+from jxl_tpu.codec.tiled import (
+    decode_striped_bytes,
+    encode_image_striped,
+    encode_image_striped_sharded,
+    is_striped,
+    read_striped,
+    stripe_widths,
+    write_striped,
+)
+
+
+def synth(h, w, seed=0):
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    base = 0.5 + 0.3 * np.sin(xx / 23.0) * np.cos(yy / 17.0)
+    img = np.clip(base + rng.normal(0, 0.04, (h, w)), 0, 1)
+    rgb = np.stack([img, img * 0.9 + 0.05, img * 0.8 + 0.1], axis=-1)
+    return (rgb * 255).astype(np.uint8)
+
+
+def psnr(a, b):
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    return 10 * np.log10(255**2 / mse)
+
+
+def test_stripe_widths():
+    assert stripe_widths(768, 3) == [256, 256, 256]
+    assert stripe_widths(200, 2) == [96, 104]
+    assert sum(stripe_widths(1000, 7)) == 1000
+    assert all(w % 8 == 0 for w in stripe_widths(1000, 7)[:-1])
+
+
+def test_wrapper_roundtrip_and_errors():
+    secs = [b"abc", b"defgh", b""]
+    data = write_striped(64, 96, secs)
+    assert is_striped(data)
+    h, w, out = read_striped(data)
+    assert (h, w) == (64, 96)
+    assert out == secs
+    with pytest.raises(AssertionError):
+        read_striped(b"JXT1" + data[4:])
+
+
+def test_striped_roundtrip_quality():
+    """Striped encode/decode lands at the same quality as single-section."""
+    img = synth(96, 192)
+    cfg = CodecConfig(distance=1.0, effort=6)
+    single = decode_bytes(encode_image(img, cfg))
+    data = encode_image_striped(img, cfg, n_stripes=3)
+    assert is_striped(data)
+    out = decode_striped_bytes(data)
+    assert out.shape == img.shape
+    p_single, p_striped = psnr(img, single), psnr(img, out)
+    assert p_striped > 30.0
+    assert abs(p_single - p_striped) < 1.0  # independent sections, same codec
+    # auto-detection: decode_bytes routes JXTS containers
+    np.testing.assert_array_equal(decode_bytes(data), out)
+
+
+def test_striped_seam_epf_uses_true_neighbors():
+    """The stitched EPF must filter seam columns with cross-stripe
+    neighbors: decoding the stripes separately (edge-replicated EPF) and
+    pasting differs at the seam; the striped decoder must NOT equal that
+    naive paste everywhere unless the filter is off there -- instead it
+    must equal the naive paste away from seams."""
+    img = synth(64, 128, seed=3)
+    cfg = CodecConfig(distance=2.0, effort=6)
+    data = encode_image_striped(img, cfg, n_stripes=2)
+    out = decode_striped_bytes(data)
+    _h, _w, secs = read_striped(data)
+    naive = np.concatenate([decode_bytes(s) for s in secs], axis=1)
+    # away from the seam the filters see identical neighborhoods
+    np.testing.assert_array_equal(out[:, :56], naive[:, :56])
+    np.testing.assert_array_equal(out[:, 72:], naive[:, 72:])
+
+
+def test_striped_lossless():
+    img = synth(40, 80, seed=5)
+    cfg = CodecConfig(distance=0.0, effort=7)
+    data = encode_image_striped(img, cfg, n_stripes=2)
+    out = decode_striped_bytes(data)
+    np.testing.assert_array_equal(out, img)
+
+
+@pytest.mark.slow
+def test_striped_sharded_matches_sequential():
+    """Mesh-sharded striped encode is byte-identical to the sequential
+    striped encode (stripes are the DP batch of one SPMD program)."""
+    import jax
+
+    from jxl_tpu.distributed.mesh import make_mesh
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs a multi-device mesh")
+    mesh = make_mesh(4, data=4, space=1)
+    img = synth(64, 4 * 64, seed=9)
+    cfg = CodecConfig(distance=1.0, effort=6)
+    seq = encode_image_striped(img, cfg, n_stripes=4)
+    shd = encode_image_striped_sharded(img, cfg, mesh=mesh, n_stripes=4)
+    assert seq == shd
+    np.testing.assert_array_equal(decode_striped_bytes(shd), decode_striped_bytes(seq))
