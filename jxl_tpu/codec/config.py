@@ -44,18 +44,18 @@ class CodecConfig:
     """Static compile-time codec parameters (hashable: used as jit static arg)."""
 
     distance: float = 1.0  # butteraugli-target-style quality knob (cjxl --distance)
-    effort: int = 7  # cjxl --effort analog: gates AC-strategy search depth
+    effort: int = 7  # cjxl --effort analog: see the effort ladder below
     strategy: Strategy = Strategy.BASELINE
     lanes: int = 256  # interleaved rANS streams
     epf: bool = True  # decode-side edge-preserving filter (signaled in header)
 
-    # effort >= 4 enables the variable-block-size AC-strategy search;
-    # effort < 4 is fixed 8x8 (fast path).
-    @property
-    def use_acs(self) -> bool:
-        return self.effort >= 4
-
-    # effort >= 6 additionally searches 16x16 and 32x32 merges.
-    @property
-    def acs_large_blocks(self) -> bool:
-        return self.effort >= 6
+    # Effort semantics (single source of truth: codec/encode.tokens_from_rgb
+    # gates + strategy/acs.MERGE_LADDER minimum efforts):
+    #   e1 fixed 8x8, no CfL/adaptive-quant, fixed gradient DC predictor
+    #   e2 + adaptive DC predictor search
+    #   e3 + chroma-from-luma + adaptive quant field
+    #   e4 + sub-8x8 AC-strategy search (8x8/4x4/8x4/4x8)
+    #   e5 + RDO quantization
+    #   e6 + 16x16 merges        e7 + 32x32/64x64
+    #   e8 + two-pass measured-rate ACS/RDO
+    #   e9 + 128x128/256x256

@@ -40,7 +40,12 @@ MAGIC = b"JXT1"
 # v6: clustered context models — u8 n_clusters + u8[n_ctx] cluster map,
 #     then n_clusters deduplicated freq tables (entropy/cluster.py); the
 #     decoder expands freq[c] = tables[map[c]]. v5 still readable.
-VERSION = 6
+# v7: RD coding upgrades — flags bits 2-3 signal the adaptive DC
+#     predictor mode (0 none / 1 west / 2 gradient); the ACS and QF maps
+#     are coded as causal L-column residuals (encode.predict_lcol); AC
+#     reconstruction applies the centroid bias (quant.ac_recon_bias).
+#     v5/v6 still readable: the decoder gates all three on version >= 7.
+VERSION = 7
 
 
 def _pack_freq_tables(freq: np.ndarray) -> bytes:
@@ -98,6 +103,7 @@ class JxtHeader:
     n_ctx: int
     alphabet: int
     flags: int = 1  # bit0: EPF enabled
+    version: int = VERSION
 
     @property
     def epf(self) -> bool:
@@ -107,6 +113,27 @@ class JxtHeader:
     def lossless(self) -> bool:
         """Flag bit 1: d=0 modular mode (codec/lossless.py)."""
         return bool(self.flags & 2)
+
+    @property
+    def dc_mode(self) -> int:
+        """DC predictor mode (v7 flags bits 2-3); pre-v7 streams always
+        used the gradient predictor."""
+        return ((self.flags >> 2) & 3) if self.version >= 7 else 2
+
+    @property
+    def decode_params(self) -> int:
+        """Traced coding-params word for the decoder: bits 0-1 dc_mode,
+        bit 2 AC reconstruction bias (implied by version >= 7), bit 3
+        ACS-map causal prediction, bit 4 QF-map causal prediction (v7
+        flags bits 4 / 5)."""
+        if self.version < 7:
+            return 2  # gradient DC, no bias, raw maps
+        return (
+            self.dc_mode
+            | 0b100
+            | (((self.flags >> 4) & 1) << 3)
+            | (((self.flags >> 5) & 1) << 4)
+        )
 
     @property
     def strategy_name(self) -> str:
@@ -175,7 +202,7 @@ def read_container(data: bytes) -> JxtStream:
     version, height, width, distance, effort, strategy, flags, name_len = struct.unpack_from(
         "<BIIfBBBH", data, off
     )
-    assert version in (5, VERSION)
+    assert version in (5, 6, VERSION)
     off += struct.calcsize("<BIIfBBBH")
     orig_name = data[off : off + name_len].decode("utf-8")
     off += name_len
@@ -220,6 +247,7 @@ def read_container(data: bytes) -> JxtStream:
         n_ctx=n_ctx,
         alphabet=alphabet,
         flags=flags,
+        version=version,
     )
     return JxtStream(
         header=header,
@@ -261,4 +289,5 @@ def read_container_header(data: bytes) -> JxtHeader:
         n_ctx=n_ctx,
         alphabet=alphabet,
         flags=flags,
+        version=version,
     )

@@ -37,7 +37,7 @@ from jxl_tpu.strategy.acs import (
 from jxl_tpu.transforms.adaptive import QF_LEVELS, qf_multiplier
 from jxl_tpu.transforms.epf import epf_apply
 from jxl_tpu.transforms.dct import idct2d, inverse_zigzag_order, permute_last
-from jxl_tpu.transforms.quant import dc_steps_t
+from jxl_tpu.transforms.quant import ac_recon_bias, dc_steps_t
 
 _SQRT2 = float(np.sqrt(2.0))
 
@@ -155,8 +155,12 @@ def _decode_packed_core(packed, distance, *, height, width, lanes, epf, capw, ca
 
     Host->device layout (static offsets; capw/capm are power-of-two bucket
     sizes so jit specializations stay bounded):
-      [0:NF]         freq tables (N_CTX*A u32)
-      [NF:NF+lanes]  final rANS states
+      [0]            coding-params word (JxtHeader.decode_params) — TRACED,
+                     so one compiled decoder serves streams with different
+                     DC predictor modes / container versions (grid rows
+                     never split compilation on it)
+      [1:1+NF]       freq tables (N_CTX*A u32)
+      [..:..+lanes]  final rANS states
       [.. : ..+G*capw] per-group rANS words, one u16 word per u32
       [.. : ..+G*capm] per-group mantissa bytes, one byte per u32
     """
@@ -173,9 +177,10 @@ def _decode_packed_core(packed, distance, *, height, width, lanes, epf, capw, ca
     T = lay["T"]
     G = lanes // GROUP
     nf = N_CTX * ALPHABET
-    freq = packed[:nf].reshape(N_CTX, ALPHABET)
-    states = packed[nf : nf + lanes]
-    o = nf + lanes
+    params = packed[0]
+    freq = packed[1 : 1 + nf].reshape(N_CTX, ALPHABET)
+    states = packed[1 + nf : 1 + nf + lanes]
+    o = 1 + nf + lanes
     words_g = packed[o : o + G * capw].reshape(G, capw)
     mant_g = packed[o + G * capw : o + G * capw + G * capm].reshape(G, capm)
     cum = jnp.concatenate(
@@ -204,7 +209,8 @@ def _decode_packed_core(packed, distance, *, height, width, lanes, epf, capw, ca
 
         return reconstruct_lossless(values, height=height, width=width)
     return _reconstruct(
-        values, distance, height=height, width=width, epf=epf, return_planes=return_planes
+        values, distance, params,
+        height=height, width=width, epf=epf, return_planes=return_planes,
     )
 
 
@@ -248,8 +254,23 @@ def _decode_packed_grid(packed_b, distances, *, height, width, lanes, epf, capw,
     return jax.lax.map(one, (packed_b, distances))
 
 
-def _reconstruct(values, distance, *, height, width, epf=True, return_planes=False):
+def unpredict_lcol(res: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of codec.encode.predict_lcol: first column is a downward
+    cumsum, then every row is a rightward cumsum — two prefix sums, no
+    sequential wavefront (the same trick the DC gradient inverse uses)."""
+    col0 = jnp.cumsum(res[:, :1], axis=0)
+    rest = jnp.concatenate([col0, res[:, 1:]], axis=1)
+    return jnp.cumsum(rest, axis=1)
+
+
+def _reconstruct(values, distance, params, *, height, width, epf=True, return_planes=False):
     """Decoded value stream -> pixels (dequant, IDCT, CfL, EPF, colorspace).
+
+    params (traced u32, JxtHeader.decode_params): bits 0-1 DC predictor
+    mode, bit 2 AC reconstruction bias, bit 3 causal ACS/QF prediction —
+    all selected with masked wheres so one compiled decoder serves v5/v6
+    and v7 streams alike (the alternate interpretations cost two tiny
+    cumsums, nothing at image scale).
 
     return_planes=True stops BEFORE the EPF + colorspace tail and returns
     (padded pre-EPF XYB planes [3, hp, wp] with B as Y-residual, eff_mul
@@ -258,24 +279,36 @@ def _reconstruct(values, distance, *, height, width, epf=True, return_planes=Fal
     instead of per-stripe filters with replicated edges."""
     lay = token_layout(height, width)
     signed = zigzag_unmap(values)
+    params = jnp.asarray(params, jnp.uint32)
+    dc_mode = (params & 3).astype(jnp.int32)
+    bias_on = ((params >> 2) & 1).astype(jnp.float32)
 
     n_acs, n_qf, n_cfl, n_dc = lay["n_acs"], lay["n_qf"], lay["n_cfl"], lay["n_dc"]
     nb, nby, nbx = lay["nb"], lay["nby"], lay["nbx"]
     ty, tx = lay["ty"], lay["tx"]
 
-    acs = jnp.clip(values[:n_acs].astype(jnp.int32), 0, N_STRATEGIES - 1).reshape(
-        nby, nbx
-    )
-    qf_idx = jnp.clip(
-        values[n_acs : n_acs + n_qf].astype(jnp.int32), 0, QF_LEVELS - 1
-    ).reshape(nby, nbx)
+    def field(start, n, levels, pred_bit):
+        """Per-block map section: causal residuals when the encoder's
+        per-image choice (params bit) says so, raw ids otherwise."""
+        pred_on = ((params >> pred_bit) & 1).astype(jnp.bool_)
+        raw = values[start : start + n].astype(jnp.int32).reshape(nby, nbx)
+        res = signed[start : start + n].reshape(nby, nbx)
+        v = jnp.where(pred_on, unpredict_lcol(res), raw)
+        return jnp.clip(v, 0, levels - 1)
+
+    acs = field(0, n_acs, N_STRATEGIES, 3)
+    qf_idx = field(n_acs, n_qf, QF_LEVELS, 4)
     qf_mul = qf_multiplier(qf_idx)
 
     cfl = signed[n_acs + n_qf : n_acs + n_qf + n_cfl].reshape(2, ty, tx)
 
     dc_start = n_acs + n_qf + n_cfl
     dc_res = signed[dc_start : dc_start + n_dc].reshape(3, nby, nbx)
-    dcq = jnp.cumsum(jnp.cumsum(dc_res, axis=1), axis=2)  # inverse gradient predictor
+    # inverse DC predictor: none / west (row cumsum) / gradient (2D cumsum)
+    dc_w = jnp.cumsum(dc_res, axis=2)
+    dcq = jnp.where(
+        dc_mode == 0, dc_res, jnp.where(dc_mode == 1, dc_w, jnp.cumsum(dc_w, axis=1))
+    )
 
     ac = signed[dc_start + n_dc :].reshape(3, 63, nb).transpose(0, 2, 1)
     # Rebuild the 64-coefficient block: DC slot 0, then inverse zigzag
@@ -288,7 +321,10 @@ def _reconstruct(values, distance, *, height, width, epf=True, return_planes=Fal
 
     eff_mul = effective_multiplier(qf_mul, acs)
     qsteps = steps_field(distance, acs, eff_mul)
-    storage = acq.astype(jnp.float32) * qsteps
+    acf = acq.astype(jnp.float32)
+    # v7 centroid reconstruction bias (transforms/quant.ac_recon_bias)
+    acf = acf - (bias_on * ac_recon_bias()) * jnp.sign(acf)
+    storage = acf * qsteps
 
     # Chroma-from-luma: add back the signaled per-tile luma prediction.
     yd = storage[1]
@@ -391,11 +427,12 @@ def _pack_stream_np(stream: JxtStream, capw: int, capm: int) -> np.ndarray:
     wcounts = stream.wcounts.astype(np.int64)
     mcounts = stream.mcounts.astype(np.int64)
     nf = N_CTX * ALPHABET
-    packed = np.zeros(nf + h.lanes + G * (capw + capm), dtype=np.uint32)
-    packed[:nf] = stream.freq.reshape(-1)
-    packed[nf : nf + h.lanes] = stream.states
-    wg = packed[nf + h.lanes : nf + h.lanes + G * capw].reshape(G, capw)
-    mg = packed[nf + h.lanes + G * capw :].reshape(G, capm)
+    packed = np.zeros(1 + nf + h.lanes + G * (capw + capm), dtype=np.uint32)
+    packed[0] = h.decode_params
+    packed[1 : 1 + nf] = stream.freq.reshape(-1)
+    packed[1 + nf : 1 + nf + h.lanes] = stream.states
+    wg = packed[1 + nf + h.lanes : 1 + nf + h.lanes + G * capw].reshape(G, capw)
+    mg = packed[1 + nf + h.lanes + G * capw :].reshape(G, capm)
     wb = np.concatenate([[0], np.cumsum(wcounts)])
     mb = np.concatenate([[0], np.cumsum(mcounts)])
     for g in range(G):

@@ -48,7 +48,7 @@ from jxl_tpu.entropy.tokens import (
 from jxl_tpu.strategy.acs import search_acs
 from jxl_tpu.transforms.dct import permute_last
 from jxl_tpu.transforms.adaptive import qf_multiplier, quant_field
-from jxl_tpu.transforms.quant import dc_steps_t
+from jxl_tpu.transforms.quant import dc_steps_t, dequant_ac_biased
 from jxl_tpu.utils.jax_setup import ready_get
 
 
@@ -57,11 +57,30 @@ def _ac_deadzone() -> float:
     only (coefficients with |x| < (0.5 + dz) * step code as 0; the decoder
     is unchanged): a slightly wider zero bin buys more rate than the
     distortion it costs on near-threshold noise — the standard dead-zone
-    quantizer RD win. Tuned on the synthetic bench set (see
-    docs/deadzone_rd.md); JXL_TPU_DEADZONE overrides for experiments."""
+    quantizer RD win. Applies to the fast path (effort <= 4); the RDO
+    quantizer (effort >= 5, _quantize_ac_rdo) subsumes it by explicitly
+    testing the zero candidate. JXL_TPU_DEADZONE overrides."""
     import os
 
     return float(os.environ.get("JXL_TPU_DEADZONE", "0.12"))
+
+
+def _rdo_kappa() -> float:
+    """Rate weight of the RDO quantizer: candidate cost = (t - recon)^2 +
+    kappa * bits, with distortion in step-normalized units — equivalent to
+    a per-coefficient Lagrangian lambda = kappa * step^2, the same
+    step-proportional lambda classical trellis quantization uses. Tuned on
+    the bench set (docs/rd_tuning.md); JXL_TPU_RDO_KAPPA overrides."""
+    import os
+
+    return float(os.environ.get("JXL_TPU_RDO_KAPPA", "0.12"))
+
+
+def _bits_proxy(q: jnp.ndarray) -> jnp.ndarray:
+    """Model-free per-coefficient rate proxy (same family as the ACS
+    search's, strategy/acs.py:_rate_bits)."""
+    aq = jnp.abs(q).astype(jnp.float32)
+    return 2.0 * jnp.log2(1.0 + aq) + 1.1 * (aq > 0)
 
 
 def _use_clustering() -> bool:
@@ -80,6 +99,69 @@ def _quantize_ac(x: jnp.ndarray, steps: jnp.ndarray) -> jnp.ndarray:
     if dz > 0.0:
         q = jnp.where(jnp.abs(t) < 0.5 + dz, 0, q)
     return q
+
+
+def _quantize_ac_rdo(
+    x: jnp.ndarray,
+    steps: jnp.ndarray,
+    bit_lut: jnp.ndarray | None = None,
+    channel: int = 0,
+) -> jnp.ndarray:
+    """Rate-distortion-optimized AC quantization (effort >= 5).
+
+    Per coefficient, tests the nearest quantization level q0 against its
+    toward-zero neighbor q0 - sign(q0) and keeps the one minimizing
+    (t - recon(q))^2 + kappa * bits(q), where recon applies the decoder's
+    v7 reconstruction bias (transforms/quant.ac_recon_bias) and bits is
+    the 2*log2(1+|q|) proxy, or — when the two-pass measured LUT is
+    available (effort >= 8) — the coefficient's actual rANS cost under
+    the image's own histograms. This is the vectorized, masked-select
+    analog of libjxl's per-coefficient quant refinement: every candidate
+    for every coefficient at once, no data-dependent control flow.
+    """
+    from jxl_tpu.transforms.quant import ac_recon_bias
+
+    t = x / steps
+    q0 = jnp.round(t).astype(jnp.int32)
+    q1 = q0 - jnp.sign(q0)
+    b = ac_recon_bias()
+    kappa = _rdo_kappa()
+
+    def recon(q):
+        qf = q.astype(jnp.float32)
+        return qf - b * jnp.sign(qf)
+
+    if bit_lut is None:
+        b0, b1 = _bits_proxy(q0), _bits_proxy(q1)
+    else:
+        from jxl_tpu.entropy.tokens import ALPHABET, tokenize, zigzag_map
+
+        a = jnp.arange(ALPHABET, dtype=jnp.int32)
+        extra = q0.ndim - 2  # axes before the trailing 8x8 storage grid
+        lut = bit_lut[channel].reshape((1,) * extra + (8, 8, ALPHABET))
+
+        def bits(q):
+            sym, _, _ = tokenize(zigzag_map(q))
+            oh = (sym[..., None] == a).astype(jnp.float32)
+            return jnp.sum(oh * lut, axis=-1)
+
+        b0, b1 = bits(q0), bits(q1)
+    c0 = (t - recon(q0)) ** 2 + kappa * b0
+    c1 = (t - recon(q1)) ** 2 + kappa * b1
+    return jnp.where(c1 < c0, q1, q0)
+
+
+def predict_lcol(v: jnp.ndarray) -> jnp.ndarray:
+    """Causal 2D prediction of a per-block integer field ([nby, nbx]):
+    first column predicts from above, the rest from the left. Residuals
+    concentrate near zero (the QF / ACS maps are locally constant), so
+    they entropy-code far below the raw values. Inverse:
+    codec.decode.unpredict_lcol (two cumsums — no sequential wavefront)."""
+    v = v.astype(jnp.int32)
+    left = jnp.pad(v, ((0, 0), (1, 0)))[:, :-1]
+    up = jnp.pad(v, ((1, 0), (0, 0)))[:-1, :]
+    pred = left.at[:, 0].set(up[:, 0])
+    return v - pred
 
 
 def image_to_blocks(planes: jnp.ndarray, hp: int, wp: int) -> jnp.ndarray:
@@ -108,19 +190,37 @@ def tokens_from_rgb(
     hook_a: bool = False,
     hook_b: bool = False,
 ):
-    """Pixels -> (tokens, nbits, mantissa, histogram counts).
+    """Pixels -> (tokens, nbits, mantissa, histogram counts, dc_mode).
 
     Pure/traceable (no jit): also the vmap/shard_map building block of the
     distributed batch encoder (jxl_tpu.distributed.sharded).
 
     Runs the full VarDCT path: XYB, AC-strategy search over variable block
-    sizes (strategy/acs.py), strategy-dependent quantization, DC gradient
-    prediction, tokenization. effort/hook_a/hook_b gate the search per
-    CodecConfig (SURVEY §2.4 activation matrix).
+    sizes (strategy/acs.py), strategy-dependent RDO quantization, adaptive
+    DC prediction, causal QF/ACS map prediction, tokenization.
+    effort/hook_a/hook_b gate the search per CodecConfig (SURVEY §2.4
+    activation matrix).
+
+    Effort ladder (every legacy-grid effort row is a distinct operating
+    point, `old_test_jxl.py:16-27`):
+      e1: fixed 8x8, no CfL / adaptive quant, fixed gradient DC predictor
+      e2: + adaptive DC predictor search (none / west / gradient)
+      e3: + chroma-from-luma + adaptive quant field
+      e4: + sub-8x8 AC-strategy search
+      e5: + RDO quantization (proxy rate)
+      e6/e7: + 16x16 / 32-64 merge ladder rungs (strategy/acs.MERGE_LADDER)
+      e8: + two-pass measured-rate ACS search and RDO
+      e9: + 128/256 ladder rungs
 
     `distance` is a TRACED scalar: one compiled encoder serves every
     distance of an RD sweep (the step tables are recomputed on device per
     call — they are tiny).
+
+    dc_mode (traced uint32 scalar, 0=none / 1=west / 2=gradient) is
+    signaled in the container flags (bits 2-3) so the decoder picks the
+    matching prefix-sum inverse. Adaptive choice matters: on noisy content
+    the DC plane is iid-ish and the gradient predictor DOUBLES the
+    residual stddev vs no prediction; on smooth content gradient wins.
     """
     lay = token_layout(height, width)
     img = rgb.astype(jnp.float32) / 255.0
@@ -134,8 +234,19 @@ def tokens_from_rgb(
 
     blocks = image_to_blocks(planes, lay["hp"], lay["wp"])
 
-    # adaptive quantization: masking-driven per-block multiplier, signaled
-    qf_idx = quant_field(planes_p[1])  # [nby, nbx] int32
+    use_aq = effort >= 3
+    use_cfl = effort >= 3
+    use_rdo = effort >= 5
+    dc_search = effort >= 2
+    nby, nbx = lay["nby"], lay["nbx"]
+
+    if use_aq:
+        # adaptive quantization: masking-driven per-block multiplier, signaled
+        qf_idx = quant_field(planes_p[1])  # [nby, nbx] int32
+    else:
+        from jxl_tpu.transforms.adaptive import QF_CENTER_IDX
+
+        qf_idx = jnp.full((nby, nbx), QF_CENTER_IDX, jnp.int32)
     qf_mul = qf_multiplier(qf_idx)
 
     def one_pass(bit_lut):
@@ -150,47 +261,89 @@ def tokens_from_rgb(
             bit_lut=bit_lut,
         )
 
+        def quant(x, steps, channel=0):
+            if use_rdo:
+                return _quantize_ac_rdo(x, steps, bit_lut=bit_lut, channel=channel)
+            return _quantize_ac(x, steps)
+
         # Chroma-from-luma: per-32x32-tile least-squares factors of the X
         # and B-residual coefficients against the *dequantized* luma
         # coefficients (so encoder and decoder see identical predictors),
         # signaled as 1/32-step indices. The (0,0) slots are zero in every
         # strategy, so DC never leaks through the predictor.
-        qy = _quantize_ac(raw[1], qsteps[1])
-        yd = qy.astype(jnp.float32) * qsteps[1]
+        qy = quant(raw[1], qsteps[1], channel=1)
+        yd = dequant_ac_biased(qy, qsteps[1])  # decoder-matched luma
         ty, tx = lay["ty"], lay["tx"]
-        nby, nbx = lay["nby"], lay["nbx"]
 
-        def tile_sum(x):
-            xp = jnp.pad(x, ((0, ty * 4 - nby), (0, tx * 4 - nbx), (0, 0), (0, 0)))
-            return xp.reshape(ty, 4, tx, 4, 8, 8).sum(axis=(1, 3, 4, 5))
+        if use_cfl:
 
-        den = tile_sum(yd * yd) + 1e-9
-        cfl_idx = []
-        resids = {}
-        for c in (0, 2):
-            k = jnp.clip(tile_sum(raw[c] * yd) / den, -1.0, 1.0)
-            idx = jnp.round(k * 32.0).astype(jnp.int32)
-            kq = idx.astype(jnp.float32) / 32.0
-            kb = jnp.repeat(jnp.repeat(kq, 4, axis=0), 4, axis=1)[:nby, :nbx]
-            resids[c] = raw[c] - kb[:, :, None, None] * yd
-            cfl_idx.append(idx.reshape(-1))
+            def tile_sum(x):
+                xp = jnp.pad(
+                    x, ((0, ty * 4 - nby), (0, tx * 4 - nbx), (0, 0), (0, 0))
+                )
+                return xp.reshape(ty, 4, tx, 4, 8, 8).sum(axis=(1, 3, 4, 5))
 
-        qx = _quantize_ac(resids[0], qsteps[0])
-        qb = _quantize_ac(resids[2], qsteps[2])
+            den = tile_sum(yd * yd) + 1e-9
+            cfl_idx = []
+            resids = {}
+            for c in (0, 2):
+                k = jnp.clip(tile_sum(raw[c] * yd) / den, -1.0, 1.0)
+                idx = jnp.round(k * 32.0).astype(jnp.int32)
+                kq = idx.astype(jnp.float32) / 32.0
+                kb = jnp.repeat(jnp.repeat(kq, 4, axis=0), 4, axis=1)[:nby, :nbx]
+                resids[c] = raw[c] - kb[:, :, None, None] * yd
+                cfl_idx.append(idx.reshape(-1))
+        else:
+            cfl_idx = [jnp.zeros((ty * tx,), jnp.int32) for _ in range(2)]
+            resids = {0: raw[0], 2: raw[2]}
+
+        qx = quant(resids[0], qsteps[0], channel=0)
+        qb = quant(resids[2], qsteps[2], channel=2)
         qstorage = jnp.stack([qx, qy, qb])
 
         # DC plane: exact 8x8 block means * 8 for every strategy.
         dc_step = dc_steps_t(distance)
         dc8 = jnp.mean(blocks, axis=(-2, -1)) * 8.0  # [3, nby, nbx]
         dcq = jnp.round(dc8 / dc_step[:, None, None]).astype(jnp.int32)
-        dc_res = dc_predict_residual(dcq)
+        if dc_search:
+            # Adaptive DC predictor: residual fields under all three modes,
+            # per-image argmin on the rate proxy, masked select (no
+            # data-dependent control flow under jit).
+            w_ = jnp.pad(dcq, ((0, 0), (0, 0), (1, 0)))[:, :, :-1]
+            n_ = jnp.pad(dcq, ((0, 0), (1, 0), (0, 0)))[:, :-1, :]
+            nw_ = jnp.pad(dcq, ((0, 0), (1, 0), (1, 0)))[:, :-1, :-1]
+            res_all = jnp.stack([dcq, dcq - w_, dcq - w_ - n_ + nw_])
+            mode_costs = jnp.sum(_bits_proxy(res_all), axis=(1, 2, 3))
+            dc_mode = jnp.argmin(mode_costs).astype(jnp.uint32)
+            dc_res = jnp.where(
+                dc_mode == 0,
+                res_all[0],
+                jnp.where(dc_mode == 1, res_all[1], res_all[2]),
+            )
+        else:
+            dc_mode = jnp.uint32(2)
+            dc_res = dc_predict_residual(dcq)
 
         ac_zz = permute_last(qstorage.reshape(3, lay["nb"], 64), lay["zigzag"])[..., 1:]
 
+        def map_field(v):
+            """Per-block map coding: causal L-column residuals when they
+            proxy-cost less than the raw ids (per-image traced choice —
+            smooth maps compress as residuals, noisy ones as raw values).
+            Returns (tokens u32, on_flag u32)."""
+            raw = v.reshape(-1).astype(jnp.uint32)
+            res = zigzag_map(predict_lcol(v).reshape(-1))
+            on = jnp.sum(_bits_proxy(res)) < jnp.sum(_bits_proxy(raw))
+            return jnp.where(on, res, raw), on.astype(jnp.uint32)
+
+        acs_tok, acs_on = map_field(acs)
+        qf_tok, qf_on = map_field(qf_idx)
+        params = dc_mode | (acs_on << 3) | (qf_on << 4)
+
         values = jnp.concatenate(
             [
-                acs.reshape(-1).astype(jnp.uint32),  # small non-negative ids
-                qf_idx.reshape(-1).astype(jnp.uint32),
+                acs_tok,
+                qf_tok,
                 zigzag_map(jnp.concatenate(cfl_idx)),
                 zigzag_map(dc_res.reshape(-1)),
                 # z-major ([3, 63, nb]): contexts form long contiguous runs,
@@ -201,18 +354,19 @@ def tokens_from_rgb(
         token, nbits, mant = tokenize(values)
 
         counts = _histogram_mxu(token, lay["ctx"])
-        return token, nbits, mant, counts
+        return token, nbits, mant, counts, params
 
-    token, nbits, mant, counts = one_pass(None)
+    token, nbits, mant, counts, params = one_pass(None)
     if effort >= 8:
         # TWO-PASS rate model (cjxl's higher efforts analog): re-run the
-        # AC-strategy search with MEASURED per-symbol rANS bit costs from
-        # the first pass's own histograms instead of the 2*log2(1+|q|)
-        # proxy — merge/split decisions then optimize the image's actual
-        # coded size. e8 and e9 therefore produce different (better-RD)
-        # bitstreams than e7 even where the transform ladders agree.
-        token, nbits, mant, counts = one_pass(_bits_lut_grid(counts))
-    return token, nbits, mant, counts
+        # AC-strategy search AND the RDO quantizer with MEASURED per-symbol
+        # rANS bit costs from the first pass's own histograms instead of
+        # the 2*log2(1+|q|) proxy — merge/split and per-coefficient
+        # decisions then optimize the image's actual coded size. e8 and e9
+        # therefore produce different (better-RD) bitstreams than e7 even
+        # where the transform ladders agree.
+        token, nbits, mant, counts, params = one_pass(_bits_lut_grid(counts))
+    return token, nbits, mant, counts, params
 
 
 # Token-chunk size for the histogram one-hot matmul: bounds the [nc, A]
@@ -225,9 +379,13 @@ HIST_CHUNK = 4 * 1024 * 1024
 def _histogram_mxu(token: jnp.ndarray, ctx_np: np.ndarray) -> jnp.ndarray:
     """Per-context histogram as a one-hot matmul (MXU): a scatter-add into
     the bins costs ~15 ms at 1.19M tokens on v5e, the matmul ~5 ms. bf16
-    0/1 inputs with f32 accumulation are exact below 2^24 counts."""
+    0/1 inputs with f32 accumulation are exact below 2^24 counts — each
+    chunk contributes at most HIST_CHUNK (= 2^22) to a bin, so the per-
+    chunk dot is exact; cross-chunk accumulation is int32 so gigapixel
+    streams (51M tokens at 4096x4096, where one dominant (ctx, token) bin
+    can exceed 2^24) stay exact too."""
     n = token.shape[0]
-    counts = jnp.zeros((N_CTX, ALPHABET), jnp.float32)
+    counts = jnp.zeros((N_CTX, ALPHABET), jnp.int32)
     for s in range(0, n, HIST_CHUNK):
         e = min(s + HIST_CHUNK, n)
         ctx_c = jnp.asarray(ctx_np[s:e])
@@ -237,8 +395,8 @@ def _histogram_mxu(token: jnp.ndarray, ctx_np: np.ndarray) -> jnp.ndarray:
         )
         counts = counts + jnp.dot(
             ctx_oh, tok_oh, preferred_element_type=jnp.float32
-        )
-    return counts.astype(jnp.int32)
+        ).astype(jnp.int32)
+    return counts
 
 
 def _bits_lut_grid(counts: jnp.ndarray) -> jnp.ndarray:
@@ -279,8 +437,10 @@ _encode_stage1 = partial(
 
 def _packed_header_u32(lanes: int) -> int:
     """u32 slots before the words section: sizes[2] + per-group word and
-    mantissa counts[8+8] + freq[N_CTX*ALPHABET] + states[lanes]."""
-    return 18 + N_CTX * ALPHABET + lanes
+    mantissa counts[8+8] + params[2] + freq[N_CTX*ALPHABET] + states[lanes].
+    params[0] carries the coding-mode word (bits 0-1: dc predictor mode);
+    params[1] is reserved."""
+    return 20 + N_CTX * ALPHABET + lanes
 
 
 def _encode_full_core(
@@ -317,11 +477,12 @@ def _encode_full_core(
                              offset right after the used words.
     """
     lay = padded_layout(height, width, lanes)
-    token, nbits, mant, counts = tokens_from_rgb(
+    token, nbits, mant, counts, params = tokens_from_rgb(
         rgb, distance, height=height, width=width, effort=effort, hook_a=hook_a, hook_b=hook_b
     )
     return _entropy_and_pack(
-        token, nbits, mant, counts, lay, lanes, cap_bytes, pallas_enc=pallas_enc
+        token, nbits, mant, counts, lay, lanes, cap_bytes,
+        pallas_enc=pallas_enc, params=params,
     )
 
 
@@ -402,7 +563,8 @@ def _unpack_u8_blocks_np(sec: np.ndarray, n: int) -> bytes:
 
 
 def _entropy_and_pack(
-    token, nbits, mant, counts, lay, lanes: int, cap_bytes: int, pallas_enc: bool = False
+    token, nbits, mant, counts, lay, lanes: int, cap_bytes: int,
+    pallas_enc: bool = False, params=0,
 ):
     """Shared tail of every encoder mode (lossy VarDCT and lossless
     modular): K-pad the token stream per the layout's spans, entropy-code
@@ -486,8 +648,9 @@ def _entropy_and_pack(
     buf = buf.at[1].set(total_bytes.astype(jnp.uint32))
     buf = jax.lax.dynamic_update_slice(buf, counts8, (2,))
     buf = jax.lax.dynamic_update_slice(buf, mcounts8, (10,))
-    buf = jax.lax.dynamic_update_slice(buf, freq.reshape(-1).astype(jnp.uint32), (18,))
-    buf = jax.lax.dynamic_update_slice(buf, states.astype(jnp.uint32), (18 + N_CTX * ALPHABET,))
+    buf = buf.at[18].set(jnp.asarray(params, jnp.uint32))
+    buf = jax.lax.dynamic_update_slice(buf, freq.reshape(-1).astype(jnp.uint32), (20,))
+    buf = jax.lax.dynamic_update_slice(buf, states.astype(jnp.uint32), (20 + N_CTX * ALPHABET,))
     buf = jax.lax.dynamic_update_slice(buf, w2, (hdr,))
     # mantissa blocks start right after the USED word blocks (block-rounded)
     n_wblk = (n_words.astype(jnp.int32) + WBLK - 1) // WBLK
@@ -605,11 +768,12 @@ def _parse_packed(got: np.ndarray, buf, lanes: int):
     if need > got.shape[0]:
         tail = ready_get(jax.lax.slice(buf, (got.shape[0],), (need,)))
         got = np.concatenate([got, tail])
-    freq = got[18 : 18 + N_CTX * ALPHABET].reshape(N_CTX, ALPHABET)
-    states = got[18 + N_CTX * ALPHABET : hdr]
+    params = int(got[18])
+    freq = got[20 : 20 + N_CTX * ALPHABET].reshape(N_CTX, ALPHABET)
+    states = got[20 + N_CTX * ALPHABET : hdr]
     words_b = _unpack_u16_blocks_np(got[hdr : hdr + ws_used], n_words)
     mant_b = _unpack_u8_blocks_np(got[hdr + ws_used : need], total_bytes)
-    return freq, states, words_b, mant_b, wcounts, mcounts
+    return freq, states, words_b, mant_b, wcounts, mcounts, params
 
 
 def pick_lanes(n_tokens: int, max_lanes: int) -> int:
@@ -634,7 +798,8 @@ def encode_image(rgb: np.ndarray, config: CodecConfig, orig_name: str = "") -> b
 
 
 def _assemble_container(
-    h, w, config, orig_name, lanes, lay, freq_np, states_np, words_b, mant_b, wcounts, mcounts
+    h, w, config, orig_name, lanes, lay, freq_np, states_np, words_b, mant_b,
+    wcounts, mcounts, params=2,
 ) -> bytes:
     header = JxtHeader(
         height=h,
@@ -647,7 +812,14 @@ def _assemble_container(
         n_tokens=lay["n_tokens"],
         n_ctx=N_CTX,
         alphabet=ALPHABET,
-        flags=(1 if config.epf else 0) | (2 if config.distance <= 0.0 else 0),
+        flags=(1 if config.epf else 0)
+        | (2 if config.distance <= 0.0 else 0)
+        # v7 coding modes: bits 2-3 dc predictor, bit 4 acs-map
+        # prediction, bit 5 qf-map prediction (internal params word has
+        # them at bits 0-1 / 3 / 4 — see tokens_from_rgb.map_field)
+        | ((int(params) & 3) << 2)
+        | (((int(params) >> 3) & 1) << 4)
+        | (((int(params) >> 4) & 1) << 5),
     )
     stream = JxtStream(
         header=header,

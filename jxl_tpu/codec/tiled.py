@@ -93,8 +93,17 @@ def read_striped(data: bytes):
     off += 4 * n
     sections = []
     for L in lens:
+        # validate declared lengths so truncated/corrupt input fails at the
+        # wrapper parse, not as a confusing container error sections later
+        assert off + L <= len(data), (
+            f"striped container truncated: section needs bytes "
+            f"[{off}, {off + L}) of {len(data)}"
+        )
         sections.append(data[off : off + L])
         off += L
+    assert off == len(data), (
+        f"striped container has {len(data) - off} trailing bytes"
+    )
     return height, width, sections
 
 
@@ -143,6 +152,14 @@ def encode_image_striped_sharded(
 
     rgb = np.asarray(rgb)
     h, w = int(rgb.shape[0]), int(rgb.shape[1])
+    # encode_batch_sharded floors distance at 0.05 and always runs the
+    # lossy pipeline; a d=0 request must not silently encode lossy
+    # sections (the sequential encode_image_striped would emit true
+    # lossless ones, breaking the byte-identical contract).
+    assert config.distance > 0.0, (
+        "lossless (d=0) striped encode is sequential-only: use "
+        "encode_image_striped (the SPMD batch path has no modular mode)"
+    )
     if mesh is None:
         mesh = make_mesh()
     if n_stripes is None:
@@ -185,6 +202,15 @@ def decode_striped_device(data: bytes):
     planes_parts = []
     mul_parts = []
     for s in sections:
+        hs = read_container_header(s)
+        # the stitch takes distance/EPF/lossless from section 0: a
+        # heterogeneous container (hand-built or future encoder change)
+        # would silently filter with the wrong EPF strength
+        assert (
+            hs.distance == h0.distance
+            and hs.epf == h0.epf
+            and not hs.lossless
+        ), "striped sections disagree on distance/epf/lossless"
         planes, eff_mul = decode_stream_planes(read_container(s))
         planes_parts.append(planes)
         mul_parts.append(eff_mul)

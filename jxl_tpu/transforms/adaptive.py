@@ -20,7 +20,9 @@ import numpy as np
 QF_LEVELS = 16
 # exponential ladder centered at 1.0: 0.55 .. 2.6
 QF_TABLE = np.exp(np.linspace(np.log(0.55), np.log(2.6), QF_LEVELS)).astype(np.float32)
-_QF_CENTER = int(np.argmin(np.abs(QF_TABLE - 1.0)))
+# nearest-to-1.0 index: the constant field low efforts (e <= 2) signal
+QF_CENTER_IDX = int(np.argmin(np.abs(QF_TABLE - 1.0)))
+_QF_CENTER = QF_CENTER_IDX
 
 # activity -> multiplier response
 _ACT_REF = 0.02  # luma Laplacian energy of "moderately textured" content

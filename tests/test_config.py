@@ -16,10 +16,32 @@ def test_strategy_activation_matrix():
 
 
 def test_effort_gates():
-    assert not CodecConfig(effort=3).use_acs
-    assert CodecConfig(effort=4).use_acs
-    assert not CodecConfig(effort=5).acs_large_blocks
-    assert CodecConfig(effort=6).acs_large_blocks
+    """Effort ladder single source of truth: strategy/acs.MERGE_LADDER
+    minimum efforts match the documented semantics (config.py)."""
+    from jxl_tpu.strategy.acs import MERGE_LADDER
+
+    min_effort = {n: e for n, _sid, e in MERGE_LADDER}
+    assert min_effort[16] == 6
+    assert min_effort[32] == 7 and min_effort[64] == 7
+    assert min_effort[128] == 8 and min_effort[256] == 9
+
+
+def test_effort_ladder_distinct_bitstreams():
+    """Every legacy-grid effort row is a distinct operating point
+    (VERDICT r2 item 6): e1/e3/e5/e7 produce different bitstreams."""
+    from jxl_tpu.codec.encode import encode_image
+    from tests.conftest import make_test_image
+
+    img = make_test_image(64, 96, seed=11)
+    streams = {
+        e: encode_image(img, CodecConfig(distance=1.0, effort=e))
+        for e in (1, 3, 5, 7)
+    }
+    blobs = list(streams.values())
+    assert len({b for b in blobs}) == len(blobs), "efforts must differ"
+    # the fast path must actually be smaller work, not just different:
+    # e1 skips CfL/AQ/RDO so it codes MORE bits than e5+
+    assert len(streams[1]) > len(streams[5])
 
 
 def test_config_hashable():

@@ -81,15 +81,13 @@ def test_ssimulacra2_score_brackets(img):
 
 
 def test_butteraugli_tracks_codec_distance(img):
-    """cjxl-unit convention: a --distance D encode scores a max-distance in
-    the same decade as D for d <= ~4, monotone throughout. Above d ~ 4 the
-    implementation's scale saturates on HF-limited content (removed-energy
-    errors are bounded by the original's own high-frequency energy; the
-    real tool's intensity nonlinearities keep growing) — deltas stay
-    sign-correct, absolute values under-report. Bound documented in
-    PARITY.md; the d=12 bracket below pins only the floor."""
+    """cjxl-unit convention: a --distance D encode scores a max-distance
+    in the same decade as D, monotone throughout. The coarse-scale bands
+    (LF/LF2) plus the intensity-response nonlinearity keep the score
+    growing at high distance (VERDICT r2 item 4): d=12 is pinned inside
+    [6, 24] — within ~2x of its nominal unit."""
     prev = 0.0
-    for d, lo, hi in ((0.5, 0.1, 3.0), (1.0, 0.3, 4.0), (4.0, 1.0, 14.0), (12.0, 1.5, 40.0)):
+    for d, lo, hi in ((0.5, 0.1, 3.0), (1.0, 0.5, 4.0), (4.0, 1.5, 9.0), (12.0, 6.0, 24.0)):
         comp = decode_bytes(encode_image(img, CodecConfig(distance=d, effort=7)))
         ba, p3 = calculate_butteraugli(img, comp)
         assert lo <= ba <= hi, (d, ba)

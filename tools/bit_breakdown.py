@@ -1,0 +1,178 @@
+"""Where do the bits go? Per-section rate breakdown of a JXT encode.
+
+Reproduces the encoder's token stream (codec/encode.tokens_from_rgb), its
+clustered+quantized histograms, and charges every token its actual rANS
+cost log2(M / f[ctx, tok]) plus mantissa bytes — aggregated by stream
+section (ACS map, quant field, CfL, DC per channel, AC per channel x band)
+plus the padding tokens and the container's header / freq-table / states
+overhead. The sum reconciles against the real container size (rANS coding
+loss vs the ideal is < 0.1%), so the table IS the file.
+
+Usage: python tools/bit_breakdown.py [image.png] [-d 1.0] [-e 7]
+Add --jpeg to print a PIL JPEG bpp-at-matched-PSNR anchor.
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+if os.environ.get("JXL_TPU_BREAKDOWN_CPU", "1") == "1":
+    # The axon TPU plugin registers regardless of JAX_PLATFORMS env; the
+    # config API wins (same belt-and-suspenders as tests/conftest.py).
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["JXL_TPU_NO_CACHE"] = "1"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+
+def breakdown(rgb, distance=1.0, effort=7):
+    import jax.numpy as jnp
+
+    from jxl_tpu.codec.config import CodecConfig
+    from jxl_tpu.codec.encode import _encode_stage1 as tokens_from_rgb
+    from jxl_tpu.codec.encode import encode_image
+    from jxl_tpu.codec.layout import (
+        N_BANDS,
+        N_CTX,
+        padded_layout,
+        token_layout,
+    )
+    from jxl_tpu.entropy.cluster import cluster_histograms
+    from jxl_tpu.entropy.rans import RANS_M, quantize_histograms_t
+    from jxl_tpu.entropy.tokens import ALPHABET
+
+    h, w = rgb.shape[:2]
+    lay = token_layout(h, w)
+    token, nbits, mant, counts, _dc_mode = tokens_from_rgb(
+        jnp.asarray(rgb), distance, height=h, width=w, effort=effort
+    )
+    token = np.asarray(token)
+    nbits = np.asarray(nbits)
+
+    # padded-layout pad counts (context-0 value tokens per span)
+    from jxl_tpu.codec.encode import pick_lanes
+
+    lanes = pick_lanes(lay["n_tokens"], 256)
+    play = padded_layout(h, w, lanes)
+    pad_counts = np.zeros((N_CTX, ALPHABET), np.int64)
+    for c, _dst, n_real, n_pad in play["spans"]:
+        pad_counts[c, 0] += n_pad - n_real
+
+    counts_total = counts + jnp.asarray(pad_counts.astype(np.int32))
+    counts_total, _cmap = cluster_histograms(counts_total)
+    freq, _cum = quantize_histograms_t(counts_total)
+    freq = np.asarray(freq).astype(np.float64)
+    bits_tab = np.log2(RANS_M / np.maximum(freq, 1.0))  # [C, A]
+
+    ctx = lay["ctx"]
+    tok_bits = bits_tab[ctx, token]
+    mant_bits = 8.0 * ((nbits + 7) // 8)
+
+    # section slicing
+    nb = lay["nb"]
+    n_cfl = lay["n_cfl"]
+    secs = []
+    o = 0
+    secs.append(("acs_map", o, o + nb)); o += nb
+    secs.append(("quant_field", o, o + nb)); o += nb
+    secs.append(("cfl", o, o + n_cfl)); o += n_cfl
+    for c, nm in enumerate("XYB"):
+        secs.append((f"dc_{nm}", o, o + nb)); o += nb
+    band_sizes = [np.sum(np.asarray(
+        __import__("jxl_tpu.codec.layout", fromlist=["ac_band_table"]).ac_band_table()
+    ) == b) * nb for b in range(N_BANDS)]
+    for c, nm in enumerate("XYB"):
+        for b in range(N_BANDS):
+            n = int(band_sizes[b])
+            secs.append((f"ac_{nm}_b{b}", o, o + n)); o += n
+    assert o == lay["n_tokens"], (o, lay["n_tokens"])
+
+    rows = []
+    for name, s, e in secs:
+        tb = float(tok_bits[s:e].sum())
+        mb = float(mant_bits[s:e].sum())
+        nz = int((token[s:e] != 0).sum())
+        rows.append((name, tb, mb, e - s, nz))
+
+    pad_bits = float((pad_counts * bits_tab).sum())
+
+    data = encode_image(rgb, CodecConfig(distance=distance, effort=effort))
+    total_bytes = len(data)
+
+    # container overhead: parse pieces
+    from jxl_tpu.codec.container import read_container
+
+    stream = read_container(data)
+    words_b = len(stream.stream_words)
+    mant_b = len(stream.mant_bytes)
+    hdr_b = total_bytes - words_b - mant_b
+
+    n_px = h * w
+    print(f"image {w}x{h}  d={distance} e={effort}  "
+          f"total {total_bytes} B = {total_bytes * 8 / n_px:.4f} bpp")
+    print(f"  header+tables+states: {hdr_b} B ({hdr_b * 8 / n_px:.4f} bpp)")
+    print(f"  rANS words: {words_b} B   mantissa: {mant_b} B")
+    print(f"  padding tokens: {pad_bits / 8:.0f} B ({pad_bits / n_px:.4f} bpp)")
+    print()
+    print(f"{'section':<14}{'tok_bits':>12}{'mant_bits':>11}{'bpp':>9}"
+          f"{'ntok':>9}{'nonzero':>9}{'b/tok':>8}")
+    tot_tb = tot_mb = 0.0
+    for name, tb, mb, n, nz in rows:
+        tot_tb += tb; tot_mb += mb
+        print(f"{name:<14}{tb:>12.0f}{mb:>11.0f}{(tb + mb) / n_px:>9.4f}"
+              f"{n:>9}{nz:>9}{tb / max(n, 1):>8.3f}")
+    print(f"{'SUM':<14}{tot_tb:>12.0f}{tot_mb:>11.0f}"
+          f"{(tot_tb + tot_mb) / n_px:>9.4f}")
+    ideal = (tot_tb + tot_mb + pad_bits) / 8 + hdr_b
+    print(f"ideal total {ideal:.0f} B vs actual {total_bytes} B "
+          f"(coding loss {(total_bytes - ideal) / total_bytes * 100:.2f}%)")
+    return data
+
+
+def jpeg_anchor(rgb, target_psnr):
+    """PIL JPEG bpp at (approximately) the same PSNR."""
+    import io
+
+    from PIL import Image
+
+    im = Image.fromarray(rgb)
+    n_px = rgb.shape[0] * rgb.shape[1]
+    print("\nJPEG anchor (PIL):")
+    for q in (70, 80, 85, 90, 92, 95):
+        buf = io.BytesIO()
+        im.save(buf, "JPEG", quality=q)
+        dec = np.asarray(Image.open(buf)).astype(np.float64)
+        mse = ((dec - rgb.astype(np.float64)) ** 2).mean()
+        psnr = 10 * np.log10(255.0**2 / mse)
+        print(f"  q={q}: {buf.tell() * 8 / n_px:.4f} bpp  {psnr:.2f} dB")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("image", nargs="?", default="test_images/synth/synth00.png")
+    ap.add_argument("-d", type=float, default=1.0)
+    ap.add_argument("-e", type=int, default=7)
+    ap.add_argument("--jpeg", action="store_true")
+    args = ap.parse_args()
+
+    from jxl_tpu.core.io import read_image
+    from jxl_tpu.codec.config import CodecConfig
+    from jxl_tpu.codec.decode import decode_bytes
+
+    rgb = read_image(args.image)
+    data = breakdown(rgb, args.d, args.e)
+    dec = decode_bytes(data)
+    mse = ((dec.astype(np.float64) - rgb.astype(np.float64)) ** 2).mean()
+    psnr = 10 * np.log10(255.0**2 / mse)
+    print(f"decode PSNR {psnr:.2f} dB")
+    if args.jpeg:
+        jpeg_anchor(rgb, psnr)
+
+
+if __name__ == "__main__":
+    main()
