@@ -17,17 +17,21 @@ import jax.numpy as jnp
 import numpy as _np
 
 # Opsin absorbance matrix: linear RGB -> (L, M, S) mixing, rows = L/M/S.
-OPSIN_MATRIX = jnp.array(
+# NUMPY constants, not jnp: module-level jnp.array would initialize the XLA
+# backend at import time, which breaks `jax.distributed.initialize` (it
+# must run before ANY backend use — tests/test_multihost.py). numpy
+# operands constant-fold identically under jit.
+OPSIN_MATRIX = _np.array(
     [
         [0.30, 0.622, 0.078],
         [0.23, 0.692, 0.078],
         [0.24342268924547819, 0.20476744424496821, 0.55180986650955360],
     ],
-    dtype=jnp.float32,
+    dtype=_np.float32,
 )
 
-OPSIN_BIAS = jnp.float32(0.0037930732552754493)
-CBRT_OPSIN_BIAS = jnp.cbrt(OPSIN_BIAS)
+OPSIN_BIAS = _np.float32(0.0037930732552754493)
+CBRT_OPSIN_BIAS = _np.cbrt(OPSIN_BIAS)
 
 _OPSIN_NP = _np.array(
     [
@@ -40,7 +44,7 @@ _OPSIN_NP = _np.array(
 _OPSIN_INV_NP = _np.linalg.inv(_OPSIN_NP)
 
 # Inverse of OPSIN_MATRIX, computed in float64 then truncated to f32.
-OPSIN_MATRIX_INV = jnp.asarray(_OPSIN_INV_NP, dtype=jnp.float32)
+OPSIN_MATRIX_INV = _np.asarray(_OPSIN_INV_NP, dtype=_np.float32)
 
 # Python-float coefficient tables for the elementwise channel mixes (must be
 # host floats, not jax arrays: under jit, captured jax constants are staged

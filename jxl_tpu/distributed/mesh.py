@@ -48,7 +48,10 @@ def init_multihost(
     """
     import jax
 
-    if jax.process_count() > 1:  # already initialized
+    # Idempotency must NOT go through jax.process_count(): that initializes
+    # the XLA backend, after which jax.distributed.initialize refuses to
+    # run (the 2-process CPU exercise in tests/test_multihost.py hits this).
+    if jax.distributed.is_initialized():
         return
     try:
         jax.distributed.initialize(
