@@ -20,9 +20,18 @@ _EPF_DISTANCE_POW = 0.8
 
 
 def epf_sigma(eff_mul: jnp.ndarray, distance, height: int, width: int) -> jnp.ndarray:
-    """Per-pixel sigma field from the per-block multipliers."""
+    """Per-pixel sigma field from the per-block multipliers.
+
+    The low-distance RAMP fades the filter out as d -> 0.5: at low
+    distance most high-frequency content is coded, so smoothing removes
+    signal, not artifacts (measured in docs/epf_ab.md — EPF at full
+    strength cost -0.26 dB on the noisy bench image at d=1 while gaining
+    +0.1..0.2 dB everywhere at d >= 4; the ramp keeps ~all of the d >= 4
+    gain and ~none of the d = 1 loss). Same spirit as libjxl scaling EPF
+    iterations/strength down at low distance."""
     d = jnp.maximum(jnp.asarray(distance, jnp.float32), 1e-4)
-    strength = d**_EPF_DISTANCE_POW
+    ramp = jnp.clip(1.0 - jnp.exp(-(d - 0.5) / 1.2), 0.0, 1.0)
+    strength = d**_EPF_DISTANCE_POW * ramp
     sig_block = eff_mul * strength  # [nby, nbx]
     sig_pix = jnp.repeat(jnp.repeat(sig_block, 8, axis=0), 8, axis=1)
     return sig_pix[:height, :width]
