@@ -70,7 +70,7 @@ def _rdo_kappa() -> float:
     kappa * bits, with distortion in step-normalized units — equivalent to
     a per-coefficient Lagrangian lambda = kappa * step^2, the same
     step-proportional lambda classical trellis quantization uses. Tuned on
-    the bench set (docs/rd_tuning.md); JXL_TPU_RDO_KAPPA overrides."""
+    the bench set (docs/rd_position.md); JXL_TPU_RDO_KAPPA overrides."""
     import os
 
     return float(os.environ.get("JXL_TPU_RDO_KAPPA", "0.12"))

@@ -28,19 +28,23 @@ def _env_floats(name: str, default):
 
 
 # Per-channel base steps at distance = 1 (X, Y, B-residual).
-# Calibrated empirically on an RD objective (bpp at matched PSNR over the
-# bench set — docs/rd_tuning.md) so d=1 lands at the cjxl --distance=1
-# operating point. JXL_TPU_CHAN_BASE / JXL_TPU_DC_BASE override (comma-
+# Calibrated on the round-3 RD objective (bpp at matched PSNR over the
+# bench set, tools/rd_tune.py — see docs/rd_position.md) jointly with
+# FREQ_STRENGTH below, then scaled so d=1 lands at the cjxl --distance=1
+# operating point (~38.2 dB on the noisy bench image, ~40 dB on the
+# corpus set). JXL_TPU_CHAN_BASE / JXL_TPU_DC_BASE override (comma-
 # separated triples) for tuning runs.
-CHAN_BASE = _env_floats("JXL_TPU_CHAN_BASE", [0.0075, 0.0090, 0.0160])
+CHAN_BASE = _env_floats("JXL_TPU_CHAN_BASE", [0.0131, 0.0158, 0.0281])
 DC_CHAN_BASE = _env_floats("JXL_TPU_DC_BASE", [0.0036, 0.0036, 0.0064])
 
 # Frequency weighting strength: higher frequencies get coarser steps.
 # MSE-optimal allocation is FLAT (equal per-coefficient distortion —
-# reverse water-filling); a positive strength trades PSNR for perceptual
-# quality (CSF-shaped noise). Tuned on the RD objective with an SSIM
-# guard; JXL_TPU_FREQ_STRENGTH overrides.
-FREQ_STRENGTH = float(os.environ.get("JXL_TPU_FREQ_STRENGTH", "3.0"))
+# reverse water-filling); the old 3.0 gave Nyquist steps 4x coarser than
+# DC-adjacent ones, i.e. spent far too many bits on near-DC precision.
+# 0.8 measured ~5% cheaper at matched PSNR than 1.5 and ~8% cheaper than
+# 3.0 across the bench+corpus set (docs/rd_position.md); going fully flat
+# (0.6) stopped paying. JXL_TPU_FREQ_STRENGTH overrides.
+FREQ_STRENGTH = float(os.environ.get("JXL_TPU_FREQ_STRENGTH", "0.8"))
 
 
 def distance_scale(distance: float) -> float:
@@ -128,10 +132,10 @@ def ac_recon_bias() -> float:
     at the biased point lowers MSE at identical rate (libjxl applies the
     same idea per-channel). Container v7+ streams only — the decoder gates
     on the stream version so v5/v6 files reproduce exactly. Tuned on the
-    bench set (docs/rd_tuning.md); JXL_TPU_RECON_BIAS overrides."""
+    bench set (docs/rd_position.md); JXL_TPU_RECON_BIAS overrides."""
     import os
 
-    return float(os.environ.get("JXL_TPU_RECON_BIAS", "0.06"))
+    return float(os.environ.get("JXL_TPU_RECON_BIAS", "0.10"))
 
 
 def dequant_ac_biased(q: jnp.ndarray, steps: jnp.ndarray) -> jnp.ndarray:
