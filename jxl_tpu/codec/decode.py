@@ -230,28 +230,93 @@ def _decode_packed_grid(packed_b, distances, *, height, width, lanes, epf, capw,
     """Decode a whole RD-sweep row in ONE dispatch (ROADMAP #3).
 
     packed_b: [N, L] u32 (per-point packed buffers, shared capw/capm
-    buckets); distances: [N] f32. lax.map (not vmap) keeps the Pallas
-    kernel's sequential-grid + persistent-scratch contract intact: the N
-    decodes run device-sequentially inside one compiled program, so a
-    10-point row costs one kernel launch + one upload instead of 10 of
-    each. Lossy only — d=0 points run their own modular program."""
+    buckets); distances: [N] f32. On TPU the rANS scans of up to 8//G
+    images run as ONE batched kernel call (decode_grouped_pallas_batched):
+    a single 256-lane image uses only 2 of the kernel's 8 state-tile
+    sublane rows, so batching 4 images quadruples tokens per vector op at
+    zero rate cost — the entropy scan is the decode wall (VERDICT r2
+    item 2). Reconstruction (dequant/IDCT/CfL/EPF) then lax.maps per
+    image. Off-TPU (no kernel) the whole per-image decode lax.maps as
+    before. Lossy only — d=0 points run their own modular program."""
+    n = packed_b.shape[0]
+    if pallas:
+        from jxl_tpu.entropy.pallas_rans import fits_vmem
 
-    def one(args):
-        p, d = args
-        return _decode_packed_core(
-            p,
-            d,
-            height=height,
-            width=width,
+        pallas = fits_vmem(lanes, capw, capm)  # static: capw/capm are jit-static
+
+    if not pallas:
+        def one(args):
+            p, d = args
+            return _decode_packed_core(
+                p, d, height=height, width=width, lanes=lanes, epf=epf,
+                capw=capw, capm=capm, pallas=False, lossless=False,
+            )
+
+        return jax.lax.map(one, (packed_b, distances))
+
+    from jxl_tpu.codec.layout import N_CTX, padded_layout
+    from jxl_tpu.entropy.grouped import GROUP, kernel_rows
+    from jxl_tpu.entropy.pallas_rans import (
+        decode_grouped_pallas_batched,
+        rows_padded,
+    )
+    from jxl_tpu.entropy.tokens import ALPHABET
+
+    from jxl_tpu.entropy.pallas_rans import fits_vmem
+
+    lay = padded_layout(height, width, lanes)
+    T = lay["T"]
+    G = lanes // GROUP
+    b_max = max(1, 8 // G)
+    while b_max > 1 and not fits_vmem(b_max * lanes, capw, capm):
+        b_max //= 2  # batched stream buffers must fit VMEM too
+    nf = N_CTX * ALPHABET
+    step_ctx = jnp.asarray(lay["step_ctx"])
+
+    def unpack(p):
+        freq = p[1 : 1 + nf].reshape(N_CTX, ALPHABET)
+        states = p[1 + nf : 1 + nf + lanes]
+        o = 1 + nf + lanes
+        wg = p[o : o + G * capw].reshape(G, capw)
+        mg = p[o + G * capw : o + G * capw + G * capm].reshape(G, capm)
+        cum = jnp.concatenate(
+            [jnp.zeros((N_CTX, 1), jnp.uint32), jnp.cumsum(freq, axis=1)[:, :-1]],
+            axis=1,
+        )
+        rows = rows_padded(kernel_rows(step_ctx, freq, cum), T)
+        return p[0], states, wg, mg, rows
+
+    parts = [unpack(packed_b[i]) for i in range(n)]
+    values_chunks = []
+    for s in range(0, n, b_max):
+        chunk = parts[s : s + b_max]
+        b = len(chunk)
+        vals = decode_grouped_pallas_batched(
+            jnp.concatenate([c[2] for c in chunk]),
+            jnp.concatenate([c[3] for c in chunk]),
+            jnp.stack([c[1] for c in chunk]),
+            jnp.stack([c[4] for c in chunk], axis=1),
+            T=T,
             lanes=lanes,
-            epf=epf,
-            capw=capw,
-            capm=capm,
-            pallas=pallas,
-            lossless=False,
+            B=b,
+        )
+        values_chunks.append(vals)
+    values_p = jnp.concatenate(values_chunks, axis=0)  # [N, n_padded]
+    params_v = jnp.stack([c[0] for c in parts])
+
+    def finish(args):
+        vp, d, params = args
+        values = jnp.concatenate(
+            [
+                jax.lax.slice(vp, (dst,), (dst + n_real,))
+                for _c, dst, n_real, _n_pad in lay["spans"]
+            ]
+        )
+        return _reconstruct(
+            values, d, params, height=height, width=width, epf=epf
         )
 
-    return jax.lax.map(one, (packed_b, distances))
+    return jax.lax.map(finish, (values_p, distances, params_v))
 
 
 def unpredict_lcol(res: jnp.ndarray) -> jnp.ndarray:

@@ -78,9 +78,11 @@ def _rdo_kappa() -> float:
 
 def _bits_proxy(q: jnp.ndarray) -> jnp.ndarray:
     """Model-free per-coefficient rate proxy (same family as the ACS
-    search's, strategy/acs.py:_rate_bits)."""
+    search's, strategy/acs.py:_rate_bits; fast-log2 — see log2_1p_fast)."""
+    from jxl_tpu.strategy.acs import log2_1p_fast
+
     aq = jnp.abs(q).astype(jnp.float32)
-    return 2.0 * jnp.log2(1.0 + aq) + 1.1 * (aq > 0)
+    return 2.0 * log2_1p_fast(aq) + 1.1 * (aq > 0)
 
 
 def _use_clustering() -> bool:

@@ -85,20 +85,41 @@ def _select_window(wins, idx):
     return out
 
 
-def _make_kernel(G: int):
+def _make_kernel(G: int, B: int = 1):
+    """Decode kernel over Gt = B * G active groups (B same-geometry images
+    batched into one kernel run). At lanes=256 a single image occupies only
+    2 of the [8, 128] state tile's sublane rows — batching 4 images fills
+    the tile, quadrupling tokens decoded per vector op at the same step
+    count and ZERO rate cost (VERDICT r2 item 2; the alternative, more
+    lanes per image, buys the same speed but pays +4 B/lane of header).
+    rows_ref is [SUBSTEPS, B, 128]: each image has its own (freq|cum) row
+    per step (grid rows vary in distance, hence in tables); sublane row r
+    uses image r // G's row — take_along_axis operates lane-wise per
+    sublane row, so the binary search stays correct per image."""
+    Gt = B * G
+
     def kernel(rows_ref, words_ref, mant_ref, states_ref, out_ref, x_scr, ptr_ref):
         i = pl.program_id(0)
 
         @pl.when(i == 0)
         def _():
             x_scr[:] = states_ref[:]
-            for g in range(G):
+            for g in range(Gt):
                 ptr_ref[g] = 0  # word stream pointer
                 ptr_ref[8 + g] = 0  # mantissa byte pointer
 
         for s in range(SUBSTEPS):
             x = x_scr[:]
-            rowb = jnp.broadcast_to(rows_ref[s][None, :], (8, 128))
+            if B == 1:
+                rowb = jnp.broadcast_to(rows_ref[s, 0][None, :], (8, 128))
+            else:
+                rowb = jnp.concatenate(
+                    [
+                        rows_ref[s, min(r // G, B - 1)].reshape(1, 128)
+                        for r in range(8)
+                    ],
+                    axis=0,
+                )
             slot = (x & jnp.uint32(RANS_M - 1)).astype(jnp.int32)
 
             # binary search: largest k with cum[k] <= slot (cum in lanes 64+)
@@ -117,27 +138,27 @@ def _make_kernel(G: int):
             need = (x_dec < RANS_L).astype(jnp.int32)
             rank = _excl_cumsum_lanes(need)
 
-            gptrs = [ptr_ref[g] for g in range(G)]
-            wwins, woff = _windows(words_ref, gptrs, G, 2)
+            gptrs = [ptr_ref[g] for g in range(Gt)]
+            wwins, woff = _windows(words_ref, gptrs, Gt, 2)
             w = _select_window(wwins, rank + woff)
             x_new = jnp.where(need == 1, (x_dec << 16) | w.astype(jnp.uint32), x_dec)
             x_scr[:] = x_new
-            for g in range(G):
+            for g in range(Gt):
                 ptr_ref[g] = ptr_ref[g] + jnp.sum(need[g, :])
 
             # mantissa: up to 3 bytes per token from the group's byte stream
             nbits = jnp.where(sym >= 32, sym - 27, 0)
             nbyt = (nbits + 7) >> 3
             brank = _excl_cumsum_lanes(nbyt)
-            bptrs = [ptr_ref[8 + g] for g in range(G)]
-            mwins, moff = _windows(mant_ref, bptrs, G, 4)
+            bptrs = [ptr_ref[8 + g] for g in range(Gt)]
+            mwins, moff = _windows(mant_ref, bptrs, Gt, 4)
             mval = jnp.zeros((8, 128), jnp.uint32)
             for j in range(MAX_NBYTES):
                 b = _select_window(mwins, brank + j + moff)
                 mval = mval | jnp.where(
                     j < nbyt, b.astype(jnp.uint32) << jnp.uint32(8 * j), 0
                 ).astype(jnp.uint32)
-            for g in range(G):
+            for g in range(Gt):
                 ptr_ref[8 + g] = ptr_ref[8 + g] + jnp.sum(nbyt[g, :])
 
             exp = jnp.where(sym >= 32, sym - 27, 0).astype(jnp.uint32)
@@ -149,29 +170,16 @@ def _make_kernel(G: int):
     return kernel
 
 
-@partial(jax.jit, static_argnames=("T", "lanes", "interpret"))
-def decode_grouped_pallas(words_g, mant_g, states, rows, *, T: int, lanes: int, interpret: bool = False):
-    """Kernel twin of grouped.decode_grouped. words_g must have >= WORD_SLACK
-    and mant_g >= MANT_SLACK columns of tail padding; rows must be T-padded
-    to a SUBSTEPS multiple by rows_padded()."""
-    G = lanes // GROUP
-    Tp = rows.shape[0]
+def _run_kernel(words_g, mant_g, st8, rows3, G: int, B: int, T: int, interpret: bool):
+    Tp = rows3.shape[0]
     assert Tp % SUBSTEPS == 0 and Tp >= T
-
-    # stream buffers keep their true G rows (full-array blocks are exempt
-    # from the 8-sublane tile rule); only the state tile is 8-padded
-    wg8 = words_g.astype(jnp.int32)
-    mg8 = mant_g.astype(jnp.int32)
-    st8 = jnp.zeros((8, GROUP), jnp.uint32)
-    st8 = jax.lax.dynamic_update_slice(
-        st8, states.astype(jnp.uint32).reshape(G, GROUP), (0, 0)
-    )
-
-    out = pl.pallas_call(
-        _make_kernel(G),
+    return pl.pallas_call(
+        _make_kernel(G, B),
         grid=(Tp // SUBSTEPS,),
         in_specs=[
-            pl.BlockSpec((SUBSTEPS, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (SUBSTEPS, B, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -185,8 +193,52 @@ def decode_grouped_pallas(words_g, mant_g, states, rows, *, T: int, lanes: int, 
             pltpu.SMEM((16,), jnp.int32),
         ],
         interpret=interpret,
-    )(rows, wg8, mg8, st8)
+    )(rows3, words_g.astype(jnp.int32), mant_g.astype(jnp.int32), st8)
+
+
+@partial(jax.jit, static_argnames=("T", "lanes", "interpret"))
+def decode_grouped_pallas(words_g, mant_g, states, rows, *, T: int, lanes: int, interpret: bool = False):
+    """Kernel twin of grouped.decode_grouped. words_g must have >= WORD_SLACK
+    and mant_g >= MANT_SLACK columns of tail padding; rows must be T-padded
+    to a SUBSTEPS multiple by rows_padded()."""
+    G = lanes // GROUP
+
+    # stream buffers keep their true G rows (full-array blocks are exempt
+    # from the 8-sublane tile rule); only the state tile is 8-padded
+    st8 = jnp.zeros((8, GROUP), jnp.uint32)
+    st8 = jax.lax.dynamic_update_slice(
+        st8, states.astype(jnp.uint32).reshape(G, GROUP), (0, 0)
+    )
+    out = _run_kernel(
+        words_g, mant_g, st8, rows[:, None, :], G, 1, T, interpret
+    )
     return out[:T, :G, :].reshape(T * lanes)
+
+
+@partial(jax.jit, static_argnames=("T", "lanes", "B", "interpret"))
+def decode_grouped_pallas_batched(
+    words_g, mant_g, states, rows, *, T: int, lanes: int, B: int, interpret: bool = False
+):
+    """Decode B same-geometry streams in ONE kernel run (see _make_kernel's
+    batching note: fills the [8, 128] state tile, ~B x the tokens per
+    vector op). The streams share T / lanes / capw / capm (an RD grid row
+    satisfies this by construction — decode.decode_bytes_grid_stacked).
+
+    words_g: [B*G, capw]; mant_g: [B*G, capm]; states: [B, lanes];
+    rows: [Tp, B, 128] (per-image rows, each T-padded by rows_padded).
+    Returns values [B, T*lanes].
+    """
+    G = lanes // GROUP
+    Gt = B * G
+    assert Gt <= 8, f"batch {B} x {G} groups exceeds the 8-sublane tile"
+    st8 = jnp.zeros((8, GROUP), jnp.uint32)
+    st8 = jax.lax.dynamic_update_slice(
+        st8, states.astype(jnp.uint32).reshape(Gt, GROUP), (0, 0)
+    )
+    out = _run_kernel(words_g, mant_g, st8, rows, G, B, T, interpret)
+    return (
+        out[:T, :Gt, :].reshape(T, B, G, GROUP).transpose(1, 0, 2, 3).reshape(B, T * lanes)
+    )
 
 
 def fits_vmem(lanes: int, capw: int, capm: int, budget_bytes: int = 10 << 20) -> bool:

@@ -98,6 +98,28 @@ ENTROPY_MUL = {
 NONZERO_BITS = 1.1
 
 
+def log2_1p_fast(aq: jnp.ndarray) -> jnp.ndarray:
+    """log2(1 + aq) for aq >= 0 via the float32 exponent trick.
+
+    bitcast(1 + aq) read as an integer is 2^23 * (127 + log2-ish): exact at
+    powers of two, piecewise-linear in the mantissa between (max error
+    0.086, mean 0.043 — corrected here). The rate PROXIES are the hottest
+    transcendental consumers in the encoder (4 dense sub-8 candidates x
+    3 ch x 64 coeffs, plus 2 RDO candidates = ~7M log2 calls per 0.4 MP
+    image); a bitcast + multiply replaces each VPU transcendental. Rate
+    models remain proxies — the approximation error is far below the model
+    error — but decisions can flip on near-ties, so this is encoder-only
+    (no decoder mirror needed)."""
+    import jax
+
+    v = aq.astype(jnp.float32) + 1.0
+    bits = jax.lax.bitcast_convert_type(v, jnp.int32)
+    # clamp at zero: the raw correction makes log2(1+0) = -0.043, which
+    # would turn all-zero candidates' rates negative and flip the
+    # ENTROPY_MUL tie-breaks on flat content (zero cost must stay zero)
+    return jnp.maximum(bits.astype(jnp.float32) * (1.0 / (1 << 23)) - 127.043, 0.0)
+
+
 def sub8_step_grids(distance) -> jnp.ndarray:
     """[4, 3, 8, 8] quant-step grids on the 8x8 storage layout for the
     sub-8 strategies (DCT, DCT4X4, DCT8X4, DCT4X8).
@@ -133,7 +155,7 @@ def merged_step_slots(distance, n: int) -> jnp.ndarray:
 def _rate_bits(q: jnp.ndarray, axes) -> jnp.ndarray:
     """Rate proxy in bits over the given axes (q: int32 quantized coeffs)."""
     aq = jnp.abs(q).astype(jnp.float32)
-    return jnp.sum(2.0 * jnp.log2(1.0 + aq) + NONZERO_BITS * (aq > 0), axis=axes)
+    return jnp.sum(2.0 * log2_1p_fast(aq) + NONZERO_BITS * (aq > 0), axis=axes)
 
 
 def _rate_bits_lut(q: jnp.ndarray, bit_lut: jnp.ndarray, axes) -> jnp.ndarray:

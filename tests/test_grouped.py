@@ -171,3 +171,67 @@ def test_histogram_chunked_matches_single():
     finally:
         enc.HIST_CHUNK = old
     np.testing.assert_array_equal(ref, got)
+
+
+@pytest.mark.slow
+def test_pallas_kernel_batched_matches():
+    """The batched kernel (B same-geometry streams in one run, filling the
+    state tile's sublane rows) must decode each stream bit-identically to
+    the XLA reference — the decode.grid path relies on it."""
+    from jxl_tpu.entropy.pallas_rans import decode_grouped_pallas_batched
+
+    lanes, T, B = 256, 6, 3
+    step_ctx = np.repeat(np.arange(3), 2)
+    streams = []
+    for b in range(B):
+        rng = np.random.default_rng(10 + b)
+        vals = rng.geometric(0.15 + 0.1 * b, size=T * lanes).astype(np.uint32) - 1
+        vals[rng.random(vals.size) < 0.04] += 300 + 100 * b
+        streams.append(vals)
+
+    G = lanes // GROUP
+    enc = []
+    for vals in streams:
+        token, nbits, mant = map(np.asarray, tokenize(jnp.asarray(vals)))
+        ctx_tok = np.repeat(step_ctx, lanes)
+        counts = np.zeros((3, 52), np.int64)
+        np.add.at(counts, (ctx_tok, token), 1)
+        freq, cum = quantize_histograms(counts)
+        fj, cj = jnp.asarray(freq), jnp.asarray(cum)
+        words, wcounts, states = map(
+            np.asarray,
+            rans_encode_grouped(
+                jnp.asarray(token.astype(np.int32)),
+                jnp.asarray(step_ctx.astype(np.int32)),
+                fj, cj, lanes,
+            ),
+        )
+        mbytes, mcounts = map(
+            np.asarray,
+            pack_mantissa_grouped(
+                jnp.asarray(nbits), jnp.asarray(mant), lanes, T * lanes * 3
+            ),
+        )
+        rows = rows_padded(kernel_rows(jnp.asarray(step_ctx.astype(np.int32)), fj, cj), T)
+        enc.append((words, wcounts, states, mbytes, mcounts, rows))
+
+    capw = max(int(e[1].max()) for e in enc) + WORD_SLACK
+    capm = max(int(e[4].max()) for e in enc) + MANT_SLACK
+    wg = np.zeros((B * G, capw), np.uint32)
+    mg = np.zeros((B * G, capm), np.uint32)
+    for b, (words, wcounts, _st, mbytes, mcounts, _r) in enumerate(enc):
+        wb = np.concatenate([[0], np.cumsum(wcounts)])
+        mb = np.concatenate([[0], np.cumsum(mcounts)])
+        for g in range(G):
+            wg[b * G + g, : wcounts[g]] = words[wb[g] : wb[g + 1]]
+            mg[b * G + g, : mcounts[g]] = mbytes[mb[g] : mb[g + 1]]
+    states_b = jnp.asarray(np.stack([e[2] for e in enc]))
+    rows_b = jnp.stack([e[5] for e in enc], axis=1)  # [Tp, B, 128]
+
+    out = decode_grouped_pallas_batched(
+        jnp.asarray(wg), jnp.asarray(mg), states_b, rows_b,
+        T=T, lanes=lanes, B=B, interpret=True,
+    )
+    out = np.asarray(out)
+    for b, vals in enumerate(streams):
+        assert np.array_equal(out[b], vals), f"stream {b} mismatch"

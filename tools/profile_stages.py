@@ -18,15 +18,30 @@ import numpy as np
 ITERS = 8
 
 
-def timeit(fn, *args):
+def timeit_mapped(fn_of_d, reps=3):
+    """Time a distance-parameterized stage as lax.map over ITERS slightly-
+    different distances inside ONE dispatch — the tunnel's ~10-20 ms
+    per-dispatch overhead amortizes across the batch (same structure the
+    grid-batched bench paths use), and the distance variation prevents XLA
+    from hoisting the loop-invariant body."""
+    import jax
+    import jax.numpy as jnp
+
     from jxl_tpu.utils.jax_setup import ready_wait
 
-    out = fn(*args)
-    ready_wait(out)  # compile + warm
-    t0 = time.perf_counter()
-    outs = [fn(*args) for _ in range(ITERS)]
-    ready_wait(outs)
-    return (time.perf_counter() - t0) / ITERS * 1e3
+    dists = jnp.float32(1.0) + jnp.arange(ITERS, dtype=jnp.float32) * 1e-4
+
+    @jax.jit
+    def run(ds):
+        return jax.lax.map(fn_of_d, ds)
+
+    ready_wait(run(dists))  # compile + warm
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        ready_wait(run(dists))
+        best = min(best, (time.perf_counter() - t0) / ITERS * 1e3)
+    return best
 
 
 def main():
@@ -111,15 +126,29 @@ def main():
             pallas_enc=pallas_enc,
         )
 
-    d = jnp.float32(1.0)
-    t_xyb = timeit(stage_xyb, img)
-    t_acs = timeit(partial(stage_acs, effort=effort), img, d)
-    t_s1 = timeit(
-        partial(stage1, height=h, width=w, effort=effort, hook_a=False, hook_b=False),
-        img,
-        d,
+    t_xyb = timeit_mapped(lambda d: stage_xyb(img + (d * 0).astype(jnp.uint8)))
+    t_acs = timeit_mapped(lambda d: stage_acs(img, d, effort=effort))
+    t_s1 = timeit_mapped(
+        lambda d: tokens_from_rgb(
+            img, d, height=h, width=w, effort=effort, hook_a=False, hook_b=False
+        )
     )
-    t_full = timeit(full_enc, img, d)
+    from jxl_tpu.codec.encode import _encode_full_core
+
+    t_full = timeit_mapped(
+        lambda d: _encode_full_core(
+            img,
+            d,
+            height=h,
+            width=w,
+            effort=effort,
+            hook_a=False,
+            hook_b=False,
+            lanes=lanes,
+            cap_bytes=cap,
+            pallas_enc=pallas_enc,
+        )
+    )
 
     data = encode_image(np.asarray(img), CodecConfig(distance=1.0, effort=effort))
     stream = read_container(data)
@@ -127,9 +156,11 @@ def main():
     capm = _pow2_bucket(int(stream.mcounts.max()) + MANT_SLACK)
     packed = jnp.asarray(_pack_stream_np(stream, capw, capm))
 
-    def full_dec(p):
-        return _decode_packed(
-            p,
+    from jxl_tpu.codec.decode import _decode_packed_core
+
+    t_dec = timeit_mapped(
+        lambda d: _decode_packed_core(
+            packed,
             d,
             height=h,
             width=w,
@@ -139,8 +170,7 @@ def main():
             capm=capm,
             pallas=_use_pallas(),
         )
-
-    t_dec = timeit(full_dec, packed)
+    )
 
     print(f"platform={jax.devices()[0].platform} effort={effort} lanes={lanes} "
           f"pallas_enc={pallas_enc} bpp={len(data)*8/(h*w):.4f}")
