@@ -189,6 +189,55 @@ def main():
     enc_min = max(fe / PEAK_FLOPS, be / PEAK_BW)
     dec_min = max(fd / PEAK_FLOPS, bd / PEAK_BW)
 
+    # DEVICE-COMPUTE roofline: the same encode/decode programs timed as an
+    # 8-iteration lax.map inside ONE dispatch (distances vary epsilon-wise
+    # to prevent loop-invariant hoisting). This excludes the axon tunnel's
+    # per-dispatch/upload/fetch overhead, which on non-tunneled production
+    # TPUs either disappears or overlaps with compute — the wall-clock
+    # fractions above are the tunnel-bound lower bounds, these are what
+    # the chip itself does (docs/roofline_r03.md breaks the gap down).
+    import jax
+
+    from jxl_tpu.codec.decode import _decode_packed_grid
+    from jxl_tpu.codec.encode import _encode_full_core
+
+    def _mapped_ms(fn_of_d, iters=8, reps=3):
+        dists = jnp.float32(1.0) + jnp.arange(iters, dtype=jnp.float32) * 1e-4
+        run = jax.jit(lambda ds: jax.lax.map(fn_of_d, ds))
+        ready_wait(run(dists))
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            ready_wait(run(dists))
+            best = min(best, (time.perf_counter() - t0) / iters * 1e3)
+        return best
+
+    imgj = jnp.asarray(img)
+    enc_dev_ms = _mapped_ms(
+        lambda d: _encode_full_core(
+            imgj, d, height=h, width=w, effort=7, hook_a=False, hook_b=False,
+            lanes=lanes, cap_bytes=cap,
+            pallas_enc=_use_pallas_enc(lanes, lay["T"]),
+        )
+    )
+
+    # decode device time: the grid-batched program (batched rANS kernel)
+    # on a device-resident 8-row batch — one dispatch, /8
+    packed_b = jnp.asarray(
+        np.stack([_pack_stream_np(stream, capw, capm)] * 8)
+    )
+    dists8 = jnp.full((8,), 1.0, jnp.float32)
+    dec_kw = dict(
+        height=h, width=w, lanes=lanes, epf=True, capw=capw, capm=capm,
+        pallas=_use_pallas(),
+    )
+    ready_wait(_decode_packed_grid(packed_b, dists8, **dec_kw))
+    dec_dev_ms = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        ready_wait(_decode_packed_grid(packed_b, dists8, **dec_kw))
+        dec_dev_ms = min(dec_dev_ms, (time.perf_counter() - t0) / 8 * 1e3)
+
     mps = mp / (t_enc + t_dec)
     print(
         json.dumps(
@@ -215,6 +264,12 @@ def main():
                     "decode_hbm_mb": round(bd / 1e6, 1),
                     "decode_lightspeed_ms": round(dec_min * 1e3, 3),
                     "decode_roofline_frac": round(dec_min / t_dec, 4) if t_dec else 0,
+                    # device-compute fractions (tunnel overhead excluded;
+                    # what a non-tunneled chip sustains — see bench code)
+                    "encode_device_ms": round(enc_dev_ms, 3),
+                    "encode_device_frac": round(enc_min * 1e3 / enc_dev_ms, 4),
+                    "decode_device_ms": round(dec_dev_ms, 3),
+                    "decode_device_frac": round(dec_min * 1e3 / dec_dev_ms, 4),
                 },
             }
         )
