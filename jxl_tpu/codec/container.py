@@ -115,25 +115,31 @@ class JxtHeader:
         return bool(self.flags & 2)
 
     @property
+    def mode_field(self) -> int:
+        """v7 coding-mode field (flags bits 2-7). Lossy: bits 0-1 dc
+        predictor, bit 2 acs-map pred, bit 3 qf-map pred. Lossless:
+        3 x 2-bit per-channel predictor modes."""
+        return (self.flags >> 2) & 0x3F
+
+    @property
     def dc_mode(self) -> int:
-        """DC predictor mode (v7 flags bits 2-3); pre-v7 streams always
-        used the gradient predictor."""
-        return ((self.flags >> 2) & 3) if self.version >= 7 else 2
+        """DC predictor mode; pre-v7 streams always used gradient."""
+        return (self.mode_field & 3) if self.version >= 7 else 2
 
     @property
     def decode_params(self) -> int:
-        """Traced coding-params word for the decoder: bits 0-1 dc_mode,
-        bit 2 AC reconstruction bias (implied by version >= 7), bit 3
-        ACS-map causal prediction, bit 4 QF-map causal prediction (v7
-        flags bits 4 / 5)."""
+        """Traced coding-params word for the decoder.
+
+        Lossy: bits 0-1 dc_mode, bit 2 AC reconstruction bias (implied by
+        version >= 7), bit 3 ACS-map causal prediction, bit 4 QF-map
+        causal prediction. Lossless: the raw per-channel predictor-mode
+        field (gradient everywhere for pre-v7 streams)."""
+        if self.lossless:
+            return self.mode_field if self.version >= 7 else 0b101010
         if self.version < 7:
             return 2  # gradient DC, no bias, raw maps
-        return (
-            self.dc_mode
-            | 0b100
-            | (((self.flags >> 4) & 1) << 3)
-            | (((self.flags >> 5) & 1) << 4)
-        )
+        m = self.mode_field
+        return (m & 3) | 0b100 | (((m >> 2) & 1) << 3) | (((m >> 3) & 1) << 4)
 
     @property
     def strategy_name(self) -> str:

@@ -207,7 +207,7 @@ def _decode_packed_core(packed, distance, *, height, width, lanes, epf, capw, ca
     if lossless:
         from jxl_tpu.codec.lossless import reconstruct_lossless
 
-        return reconstruct_lossless(values, height=height, width=width)
+        return reconstruct_lossless(values, params, height=height, width=width)
     return _reconstruct(
         values, distance, params,
         height=height, width=width, epf=epf, return_planes=return_planes,

@@ -340,7 +340,9 @@ def tokens_from_rgb(
 
         acs_tok, acs_on = map_field(acs)
         qf_tok, qf_on = map_field(qf_idx)
-        params = dc_mode | (acs_on << 3) | (qf_on << 4)
+        # 6-bit coding-mode field (container flags bits 2-7):
+        # bits 0-1 dc predictor, bit 2 acs-map pred, bit 3 qf-map pred
+        params = dc_mode | (acs_on << 2) | (qf_on << 3)
 
         values = jnp.concatenate(
             [
@@ -695,14 +697,18 @@ def _mant_overflowed(got: np.ndarray, lanes: int, T: int) -> bool:
 
 
 def _encode_lossless_core(rgb, *, height: int, width: int, lanes: int, cap_bytes: int):
-    """Lossless (d=0) encoder: YCoCg-R + gradient residuals through the
-    same grouped entropy layer (codec/lossless.py)."""
+    """Lossless (d=0) encoder: YCoCg-R + per-channel adaptive predictor
+    residuals through the same grouped entropy layer (codec/lossless.py)."""
     from jxl_tpu.codec.layout import lossless_layout
     from jxl_tpu.codec.lossless import lossless_tokens
 
     lay = lossless_layout(height, width, lanes)
-    token, nbits, mant, counts = lossless_tokens(rgb, height=height, width=width)
-    return _entropy_and_pack(token, nbits, mant, counts, lay, lanes, cap_bytes)
+    token, nbits, mant, counts, params = lossless_tokens(
+        rgb, height=height, width=width
+    )
+    return _entropy_and_pack(
+        token, nbits, mant, counts, lay, lanes, cap_bytes, params=params
+    )
 
 
 @partial(jax.jit, static_argnames=("height", "width", "lanes", "cap_bytes", "first"))
@@ -816,12 +822,11 @@ def _assemble_container(
         alphabet=ALPHABET,
         flags=(1 if config.epf else 0)
         | (2 if config.distance <= 0.0 else 0)
-        # v7 coding modes: bits 2-3 dc predictor, bit 4 acs-map
-        # prediction, bit 5 qf-map prediction (internal params word has
-        # them at bits 0-1 / 3 / 4 — see tokens_from_rgb.map_field)
-        | ((int(params) & 3) << 2)
-        | (((int(params) >> 3) & 1) << 4)
-        | (((int(params) >> 4) & 1) << 5),
+        # v7 coding-mode field in bits 2-7: for lossy streams bits 0-1 =
+        # dc predictor / bit 2 = acs-map pred / bit 3 = qf-map pred
+        # (tokens_from_rgb); for lossless, 3 x 2-bit per-channel
+        # predictor modes (lossless.lossless_tokens)
+        | ((int(params) & 0x3F) << 2),
     )
     stream = JxtStream(
         header=header,

@@ -60,10 +60,33 @@ def grad_reconstruct(res):
 
 
 def lossless_tokens(rgb, *, height: int, width: int):
-    """Pixels -> (tokens, nbits, mantissa, histogram counts) for the
-    lossless layout (contexts = channels)."""
+    """Pixels -> (tokens, nbits, mantissa, histogram counts, params) for
+    the lossless layout (contexts = channels).
+
+    params (traced uint32): per-channel predictor mode, 2 bits each
+    (bits 2c..2c+1 for channel c): 0 = none, 1 = west, 2 = gradient —
+    chosen per channel on the rate proxy (v7 container flags bits 2-7).
+    Adaptive choice matters exactly as for the lossy DC plane: on noisy
+    planes the gradient predictor doubles residual stddev vs none/west;
+    on smooth planes it wins. All three inverses are prefix sums, so
+    decode stays fully parallel whatever is picked.
+    """
     planes = ycocg_forward(rgb)
-    res = grad_residual(planes)
+    w_ = jnp.pad(planes, ((0, 0), (0, 0), (1, 0)))[:, :, :-1]
+    n_ = jnp.pad(planes, ((0, 0), (1, 0), (0, 0)))[:, :-1, :]
+    nw_ = jnp.pad(planes, ((0, 0), (1, 0), (1, 0)))[:, :-1, :-1]
+    res_all = jnp.stack([planes, planes - w_, planes - w_ - n_ + nw_])  # [3mode, 3ch, H, W]
+
+    from jxl_tpu.codec.encode import _bits_proxy
+
+    mode_costs = jnp.sum(_bits_proxy(res_all), axis=(2, 3))  # [3mode, 3ch]
+    modes = jnp.argmin(mode_costs, axis=0).astype(jnp.uint32)  # [3ch]
+    params = modes[0] | (modes[1] << 2) | (modes[2] << 4)
+    res = jnp.where(
+        (modes == 0)[:, None, None],
+        res_all[0],
+        jnp.where((modes == 1)[:, None, None], res_all[1], res_all[2]),
+    )
     values = zigzag_map(res.reshape(3, -1)).reshape(-1)
     token, nbits, mant = tokenize(values)
 
@@ -71,11 +94,18 @@ def lossless_tokens(rgb, *, height: int, width: int):
 
     lay = lossless_layout(height, width, 128)  # ctx field is lanes-free
     counts = _histogram_mxu(token, lay["ctx"])
-    return token, nbits, mant, counts
+    return token, nbits, mant, counts, params
 
 
-def reconstruct_lossless(values, *, height: int, width: int):
-    """Decoded value stream -> exact RGB u8 pixels."""
+def reconstruct_lossless(values, params, *, height: int, width: int):
+    """Decoded value stream -> exact RGB u8 pixels. params: per-channel
+    predictor modes (see lossless_tokens); pre-v7 streams decode with
+    gradient for every channel (JxtHeader.decode_params handles that)."""
+    params = jnp.asarray(params, jnp.uint32)
+    modes = jnp.stack([(params >> (2 * c)) & 3 for c in range(3)]).astype(jnp.int32)
     res = zigzag_unmap(values).reshape(3, height, width)
-    planes = grad_reconstruct(res)
+    rec_w = jnp.cumsum(res, axis=2)
+    rec_g = jnp.cumsum(rec_w, axis=1)
+    m = modes[:, None, None]
+    planes = jnp.where(m == 0, res, jnp.where(m == 1, rec_w, rec_g))
     return ycocg_inverse(planes)
