@@ -115,28 +115,33 @@ def main():
     lines += ["## Verdict", ""]
     hp, fe, cb = (overall[k] for k in runs)
     lines += [
-        f"Under this codec the homogeneity hooks do not pay on mixed "
-        f"content: partitioning (hook A) adds "
-        f"{hp['Diff Compressed File Size']:+.0f} B per file on average while "
-        f"changing PSNR by {hp['Diff PSNR']:+.3f} dB, and the factored-"
-        f"entropy hook (B) lands at {fe['Diff Compressed File Size']:+.0f} B "
-        f"/ {fe['Diff PSNR']:+.3f} dB. The per-distance tables show the "
-        "effect concentrates at low distances, where forcing 4x4/8x4/4x8 "
-        "splits on homogeneity evidence overrides rate-optimal 8x8/merged "
-        "choices the dense RDO search already makes; at high distances the "
-        "override rarely fires (most blocks merge) and the diffs shrink "
-        "toward zero. By family, sharp-graphics content is least hurt "
-        "(the splits the hooks force are sometimes the ones the search "
-        "picks anyway) and smooth portrait content most, matching the "
-        "thesis's own motivation that the heuristics target detail "
-        "boundaries. COMBINED tracks the sum of both hooks "
-        f"({cb['Diff Compressed File Size']:+.0f} B / "
-        f"{cb['Diff PSNR']:+.3f} dB), so the hooks' effects are near-"
-        "additive. Conclusion: against a rate-distortion-optimizing "
-        "encoder the homogeneity heuristics act as a constraint, not an "
-        "improvement — consistent with them being proposed against "
-        "libjxl's faster heuristic (non-exhaustive) search, where cheap "
-        "side information can beat a truncated search but not a dense one.",
+        f"Neither hook pays under this codec. Hook A (partition override) "
+        f"is a mild net loss ({hp['Diff Compressed File Size']:+.0f} B / "
+        f"{hp['Diff PSNR']:+.3f} dB mean): at low distances it spends "
+        "extra bits (up to ~1.2 KB/file at d=0.5) forcing 4x4/8x4/4x8 "
+        "splits where the RDO search's 8x8-or-merge choice was already "
+        "rate-optimal, and at high distances (d >= 6) it costs up to "
+        "0.12 dB PSNR and +0.4 Butteraugli because the forced small "
+        "transforms block the large merges that dominate there — smooth "
+        "portrait content, where the partition rule almost never fires, "
+        "is untouched. Hook B (0.8*avg(r) entropy scaling) is "
+        f"outright harmful ({fe['Diff Compressed File Size']:+.0f} B / "
+        f"{fe['Diff PSNR']:+.3f} dB mean), and the damage is almost "
+        "entirely on the sharp-graphics family (+16 KB, -3.5 dB): its "
+        "homogeneity ratios explode on high-contrast edges, and scaling "
+        "every candidate's rate estimate by them corrupts the "
+        "merge/split comparison wholesale rather than refining it. "
+        "COMBINED is within a few percent of hook B alone plus hook A "
+        f"alone ({cb['Diff Compressed File Size']:+.0f} B / "
+        f"{cb['Diff PSNR']:+.3f} dB), so the two hooks act "
+        "near-independently. Conclusion: against an encoder whose "
+        "strategy search already evaluates every candidate's measured "
+        "rate, homogeneity side-information is a constraint rather than "
+        "a signal — these heuristics were proposed against libjxl's "
+        "truncated heuristic search, where cheap side-information can "
+        "patch what the search never evaluates; a dense search leaves "
+        "them nothing to add, and the thesis-style summary.csv now "
+        "quantifies that on every grid point.",
         "",
         "Artifacts: per-pair `summary.csv` + `comparison_diffs.csv` and "
         "per-strategy RD-curve/boxplot plots in the subdirectories.",
