@@ -238,6 +238,25 @@ def main():
         ready_wait(_decode_packed_grid(packed_b, dists8, **dec_kw))
         dec_dev_ms = min(dec_dev_ms, (time.perf_counter() - t0) / 8 * 1e3)
 
+    # Measured same-host CPU-codec anchor (r02 review: vs_baseline divides
+    # by a NOMINAL 2.5 MP/s; this one is actually measured here): PIL/
+    # libjpeg encode+decode MP/s on the same image at quality ~ this
+    # operating point. libjpeg is ~2-4x faster than cjxl -e7 on one core,
+    # so it brackets the nominal figure from above.
+    import io
+
+    from PIL import Image
+
+    pim = Image.fromarray(np.asarray(img))
+    t0 = time.perf_counter()
+    jpeg_iters = 5
+    for _ in range(jpeg_iters):
+        buf = io.BytesIO()
+        pim.save(buf, "JPEG", quality=90)
+        buf.seek(0)
+        np.asarray(Image.open(buf))
+    jpeg_mps = mp / ((time.perf_counter() - t0) / jpeg_iters)
+
     mps = mp / (t_enc + t_dec)
     print(
         json.dumps(
@@ -253,6 +272,8 @@ def main():
                 "grid_batch": B,
                 "psnr_db": round(psnr, 2),
                 "bpp": round(bpp, 4),
+                "jpeg_cpu_mps_measured": round(jpeg_mps, 3),
+                "vs_jpeg_cpu": round(mps / jpeg_mps, 3),
                 "roofline": {
                     "peak_flops": PEAK_FLOPS,
                     "peak_hbm_bw": PEAK_BW,
