@@ -85,6 +85,12 @@ TIMINGS_HEADER = [
     "Metrics Time (s)",
     "Encode MP/s",
     "Decode MP/s",
+    # 1 when this (geometry, effort, strategy, grid-shape) signature was
+    # already compiled this process, 0 when the row includes jit compile —
+    # downstream averaging must filter Warm == 1 (VERDICT r3 item 9: the
+    # first grid row otherwise silently mixes ~seconds of XLA compile into
+    # the throughput columns).
+    "Warm",
 ]
 
 
@@ -145,6 +151,10 @@ class SweepRunner:
             run_dir = os.path.join(config.benchmark_dir, str(n))
         self.run_dir = run_dir
         os.makedirs(self.run_dir, exist_ok=True)
+        # Compile-signature tracking for the timings.csv "Warm" column: a
+        # row whose (geometry, effort, strategy, grid shape) was not yet
+        # encoded this process includes XLA compile time in its wall times.
+        self._warm_sigs: set = set()
 
     # --- resumability ------------------------------------------------------
     def _marker_path(self, test_set: str, strategy: Strategy) -> str:
@@ -262,6 +272,16 @@ class SweepRunner:
                         if not batch_names:
                             continue
                         lossy_ds = [d for d in self.config.distances if d > 0.0]
+                        sig = (
+                            "mesh",
+                            rgbs[batch_names[0]].shape,
+                            int(e),
+                            strategy.name,
+                            len(lossy_ds),
+                            len(batch_names),
+                        )
+                        warm = 1 if sig in self._warm_sigs else 0
+                        self._warm_sigs.add(sig)
                         t0 = time.perf_counter()
                         try:
                             grids = encode_grid_sharded(
@@ -310,6 +330,7 @@ class SweepRunner:
                                     todo,
                                     blobs,
                                     encode_s,
+                                    warm,
                                 )
                             )
             return all_rows
@@ -331,11 +352,14 @@ class SweepRunner:
                 # the grid is encoded as a vmapped batch (encode_image_grid);
                 # d=0.0 (true lossless, legacy grid) runs its own modular
                 # program outside the lossy vmap
+                lossless_ds = [d for d in todo if d <= 0.0]
+                lossy_ds = [d for d in todo if d > 0.0]
+                sig = (rgb.shape, int(e), strategy.name, len(lossy_ds), bool(lossless_ds))
+                warm = 1 if sig in self._warm_sigs else 0
+                self._warm_sigs.add(sig)
                 t0 = time.perf_counter()
                 try:
                     cfg = CodecConfig(effort=int(e), strategy=strategy)
-                    lossless_ds = [d for d in todo if d <= 0.0]
-                    lossy_ds = [d for d in todo if d > 0.0]
                     datas_by_d = {}
                     if lossy_ds:
                         for d, blob in zip(
@@ -357,11 +381,13 @@ class SweepRunner:
                     continue
                 encode_s = (time.perf_counter() - t0) / max(1, len(todo))
                 all_rows.extend(
-                    self._finish_row(ctx, image_name, meta, rgb, e, todo, datas, encode_s)
+                    self._finish_row(
+                        ctx, image_name, meta, rgb, e, todo, datas, encode_s, warm
+                    )
                 )
         return all_rows
 
-    def _finish_row(self, ctx, image_name, meta, rgb, e, todo, datas, encode_s):
+    def _finish_row(self, ctx, image_name, meta, rgb, e, todo, datas, encode_s, warm=1):
         """Decode + metric battery + CSV rows for one (image, effort) row of
         already-encoded containers. Shared by the single-device and mesh
         paths (containers are byte-identical between them)."""
@@ -436,6 +462,7 @@ class SweepRunner:
                     f"{metrics_s:.6f}",
                     f"{mp / encode_s:.3f}",
                     f"{mp / decode_s:.3f}",
+                    warm,
                 ]
                 for d in todo
             ],

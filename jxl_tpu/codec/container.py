@@ -44,7 +44,12 @@ MAGIC = b"JXT1"
 #     predictor mode (0 none / 1 west / 2 gradient); the ACS and QF maps
 #     are coded as causal L-column residuals (encode.predict_lcol); AC
 #     reconstruction applies the centroid bias (quant.ac_recon_bias).
-#     v5/v6 still readable: the decoder gates all three on version >= 7.
+#
+# Only the CURRENT version is readable: the quant-step model
+# (transforms/quant.py) is recomputed from constants that are retuned
+# between versions and not signaled in the stream, so decoding an older
+# version with current tables would silently dequantize with wrong steps
+# (ADVICE r3). Older-version containers fail fast with a clear error.
 VERSION = 7
 
 
@@ -208,7 +213,12 @@ def read_container(data: bytes) -> JxtStream:
     version, height, width, distance, effort, strategy, flags, name_len = struct.unpack_from(
         "<BIIfBBBH", data, off
     )
-    assert version in (5, 6, VERSION)
+    if version != VERSION:
+        raise ValueError(
+            f"JXT container version {version} is not decodable by this build "
+            f"(expected {VERSION}): quant-step constants are per-version and "
+            "not signaled in the stream"
+        )
     off += struct.calcsize("<BIIfBBBH")
     orig_name = data[off : off + name_len].decode("utf-8")
     off += name_len

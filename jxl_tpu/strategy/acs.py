@@ -114,10 +114,13 @@ def log2_1p_fast(aq: jnp.ndarray) -> jnp.ndarray:
 
     v = aq.astype(jnp.float32) + 1.0
     bits = jax.lax.bitcast_convert_type(v, jnp.int32)
-    # clamp at zero: the raw correction makes log2(1+0) = -0.043, which
-    # would turn all-zero candidates' rates negative and flip the
-    # ENTROPY_MUL tie-breaks on flat content (zero cost must stay zero)
-    return jnp.maximum(bits.astype(jnp.float32) * (1.0 / (1 << 23)) - 127.043, 0.0)
+    # The exponent+mantissa value e+m UNDERestimates log2(1+aq) by
+    # [0, 0.086] bits (mean 0.058), so the centering correction must be
+    # ADDED: subtract 126.95, not 127.043 (the old subtrahend doubled the
+    # bias instead of cancelling it — ADVICE r3). The max(..., 0) clamp
+    # keeps log2(1+0) exactly 0 so all-zero candidates' rates never go
+    # negative and ENTROPY_MUL tie-breaks on flat content hold.
+    return jnp.maximum(bits.astype(jnp.float32) * (1.0 / (1 << 23)) - 126.95, 0.0)
 
 
 def sub8_step_grids(distance) -> jnp.ndarray:

@@ -11,6 +11,14 @@ with a CSF-flavored radial frequency weight. The XYB channels have very
 different dynamic ranges (X ~ +-0.03, Y/B ~ [0, 0.85]) so per-channel bases
 differ; B is coded as (B - Y) residual — see codec.encode — which shrinks its
 effective range and lets it take coarser steps.
+
+NOTE on the JXL_TPU_* overrides below (CHAN_BASE, FREQ_STRENGTH,
+RECON_BIAS, RDO_KAPPA): these are PAIRED encode+decode tuning knobs for
+calibration runs (tools/rd_tune.py), not per-stream parameters — the
+effective constants are NOT signaled in the container, so a stream encoded
+under an override only decodes correctly in a process with the identical
+environment. CHAN_BASE and FREQ_STRENGTH are additionally frozen at import
+time. Production streams must use the defaults.
 """
 
 import os
