@@ -16,7 +16,7 @@ Layout (all little-endian):
   u16     orig_name_len; bytes orig_name (utf-8)
   u16     lanes (K)
   u32     n_tokens
-  u8      n_ctx
+  u16     n_ctx (v8+: up to 765 position x bucket contexts)
   u8      alphabet (A)
   u8      n_clusters (v6+); u8[n_ctx] cluster map
   per-CLUSTER frequency tables (raw u16 row or sparse, see _pack_freq_tables)
@@ -45,12 +45,19 @@ MAGIC = b"JXT1"
 #     are coded as causal L-column residuals (encode.predict_lcol); AC
 #     reconstruction applies the centroid bias (quant.ac_recon_bias).
 #
+# v8: nnz-conditioned AC contexts — a per-(channel, block) nonzero-count
+#     bucket map section (decoded before the ACs) conditions the AC
+#     histograms (contexts = channel x zigzag position x bucket,
+#     layout.py); the AC block axis is bucket-sorted per channel; flags
+#     bit 6 (mode-field bit 4) signals causal nnz-map prediction. n_ctx
+#     grew past 255, so the header field widened to u16.
+#
 # Only the CURRENT version is readable: the quant-step model
 # (transforms/quant.py) is recomputed from constants that are retuned
 # between versions and not signaled in the stream, so decoding an older
 # version with current tables would silently dequantize with wrong steps
 # (ADVICE r3). Older-version containers fail fast with a clear error.
-VERSION = 7
+VERSION = 8
 
 
 def _pack_freq_tables(freq: np.ndarray) -> bytes:
@@ -135,16 +142,20 @@ class JxtHeader:
     def decode_params(self) -> int:
         """Traced coding-params word for the decoder.
 
-        Lossy: bits 0-1 dc_mode, bit 2 AC reconstruction bias (implied by
-        version >= 7), bit 3 ACS-map causal prediction, bit 4 QF-map
-        causal prediction. Lossless: the raw per-channel predictor-mode
-        field (gradient everywhere for pre-v7 streams)."""
+        Lossy: bits 0-1 dc_mode, bit 2 AC reconstruction bias, bit 3
+        ACS-map causal prediction, bit 4 QF-map causal prediction, bit 5
+        nnz-map causal prediction (v8). Lossless: the raw per-channel
+        predictor-mode field."""
         if self.lossless:
-            return self.mode_field if self.version >= 7 else 0b101010
-        if self.version < 7:
-            return 2  # gradient DC, no bias, raw maps
+            return self.mode_field
         m = self.mode_field
-        return (m & 3) | 0b100 | (((m >> 2) & 1) << 3) | (((m >> 3) & 1) << 4)
+        return (
+            (m & 3)
+            | 0b100
+            | (((m >> 2) & 1) << 3)
+            | (((m >> 3) & 1) << 4)
+            | (((m >> 4) & 1) << 5)
+        )
 
     @property
     def strategy_name(self) -> str:
@@ -182,15 +193,35 @@ def write_container(s: JxtStream) -> bytes:
             len(name_b),
         ),
         name_b,
-        struct.pack("<HIBB", h.lanes, h.n_tokens, h.n_ctx, h.alphabet),
+        struct.pack("<HIHB", h.lanes, h.n_tokens, h.n_ctx, h.alphabet),
     ]
     # Clustered tables (v6): identical rows (produced by the encoder's
     # on-device histogram clustering) are signaled once. np.unique's row
-    # sort is deterministic; the map restores per-context order.
+    # sort is deterministic; the map restores per-context order. v8's map
+    # is 765 entries with long runs of equal ids (positions of a channel x
+    # bucket stripe mostly share a cluster), so it is RLE-coded when that
+    # is smaller: mode byte 0 = raw u8[n_ctx], 1 = u16 n_pairs +
+    # (u8 id, u8 runlen) pairs (runlen 1..255, long runs split).
     tables, cmap = np.unique(np.asarray(s.freq), axis=0, return_inverse=True)
+    cmap = cmap.astype(np.uint8)
+    pairs = []
+    i = 0
+    while i < len(cmap):
+        j = i
+        while j < len(cmap) and cmap[j] == cmap[i] and j - i < 255:
+            j += 1
+        pairs.append((int(cmap[i]), j - i))
+        i = j
+    rle = struct.pack("<H", len(pairs)) + b"".join(
+        struct.pack("<BB", cid, rl) for cid, rl in pairs
+    )
+    if len(rle) + 1 < len(cmap) + 1:
+        cmap_b = struct.pack("<B", 1) + rle
+    else:
+        cmap_b = struct.pack("<B", 0) + cmap.tobytes()
     out += [
         struct.pack("<B", len(tables)),
-        cmap.astype("<u1").tobytes(),
+        cmap_b,
         _pack_freq_tables(tables),
     ]
     out += [
@@ -222,17 +253,27 @@ def read_container(data: bytes) -> JxtStream:
     off += struct.calcsize("<BIIfBBBH")
     orig_name = data[off : off + name_len].decode("utf-8")
     off += name_len
-    lanes, n_tokens, n_ctx, alphabet = struct.unpack_from("<HIBB", data, off)
-    off += struct.calcsize("<HIBB")
-    if version >= 6:
-        n_clusters = data[off]
-        off += 1
+    lanes, n_tokens, n_ctx, alphabet = struct.unpack_from("<HIHB", data, off)
+    off += struct.calcsize("<HIHB")
+    n_clusters = data[off]
+    off += 1
+    cmap_mode = data[off]
+    off += 1
+    if cmap_mode == 1:  # RLE (see write_container)
+        (n_pairs,) = struct.unpack_from("<H", data, off)
+        off += 2
+        cmap = np.empty(n_ctx, np.uint8)
+        pos = 0
+        for _ in range(n_pairs):
+            cid, rl = data[off], data[off + 1]
+            off += 2
+            cmap[pos : pos + rl] = cid
+            pos += rl
+    else:
         cmap = np.frombuffer(data, dtype="<u1", count=n_ctx, offset=off)
         off += n_ctx
-        tables, off = _unpack_freq_tables(data, off, n_clusters, alphabet)
-        freq = tables[cmap]
-    else:
-        freq, off = _unpack_freq_tables(data, off, n_ctx, alphabet)
+    tables, off = _unpack_freq_tables(data, off, n_clusters, alphabet)
+    freq = tables[cmap]
     states = np.frombuffer(data, dtype="<u4", count=lanes, offset=off).astype(np.uint32)
     off += lanes * 4
     n_groups = lanes // 128
@@ -292,7 +333,7 @@ def read_container_header(data: bytes) -> JxtHeader:
     off += struct.calcsize("<BIIfBBBH")
     orig_name = data[off : off + name_len].decode("utf-8")
     off += name_len
-    lanes, n_tokens, n_ctx, alphabet = struct.unpack_from("<HIBB", data, off)
+    lanes, n_tokens, n_ctx, alphabet = struct.unpack_from("<HIHB", data, off)
     return JxtHeader(
         height=height,
         width=width,

@@ -150,6 +150,31 @@ def _use_pallas() -> bool:
     return use_pallas()
 
 
+def _nnz_map_from_padded(vals_a, params, lay):
+    """Decoded phase-A PADDED values -> (q_final [3, nb], q_sorted [3, nb]).
+
+    Reads the nnz-bucket section at its padded span offsets, undoes the
+    (flag-selected) causal prediction, clips to the bucket range, and
+    applies the shared stable bucket sort (encode.bucket_perm)."""
+    from jxl_tpu.codec.encode import bucket_perm
+    from jxl_tpu.codec.layout import NNZ_Q
+
+    nb = lay["nb"]
+    nby, nbx = lay["nby"], lay["nbx"]
+    pred_on = ((jnp.asarray(params, jnp.uint32) >> 5) & 1).astype(jnp.bool_)
+    chans = []
+    for i in range(3):
+        _c, dst, n_real, _p = lay["spans"][3 + i]  # nnz spans follow CfL
+        raw = vals_a[dst : dst + n_real].astype(jnp.int32).reshape(nby, nbx)
+        res = zigzag_unmap(vals_a[dst : dst + n_real]).reshape(nby, nbx)
+        v = jnp.where(pred_on, unpredict_lcol(res), raw)
+        chans.append(jnp.clip(v, 0, NNZ_Q - 1).reshape(-1))
+    q_final = jnp.stack(chans)
+    perm = bucket_perm(q_final, nb)
+    q_sorted = jnp.take_along_axis(q_final, perm, axis=1)
+    return q_final, q_sorted
+
+
 def _decode_packed_core(packed, distance, *, height, width, lanes, epf, capw, capm, pallas, lossless=False, return_planes=False):
     """Unpack the single uploaded u32 buffer and decode.
 
@@ -157,14 +182,20 @@ def _decode_packed_core(packed, distance, *, height, width, lanes, epf, capw, ca
     sizes so jit specializations stay bounded):
       [0]            coding-params word (JxtHeader.decode_params) — TRACED,
                      so one compiled decoder serves streams with different
-                     DC predictor modes / container versions (grid rows
-                     never split compilation on it)
-      [1:1+NF]       freq tables (N_CTX*A u32)
+                     DC predictor modes (grid rows never split compilation)
+      [1:1+NF]       freq tables (n_ctx*A u32, cluster-expanded)
       [..:..+lanes]  final rANS states
       [.. : ..+G*capw] per-group rANS words, one u16 word per u32
       [.. : ..+G*capm] per-group mantissa bytes, one byte per u32
+
+    Lossy (v8) streams decode in TWO scan phases: the static-context
+    sections (maps, CfL, nnz buckets, DC) first, then the AC phase whose
+    per-step contexts are computed from the just-decoded nnz map; the
+    rANS carry (states + stream pointers) threads between the phases
+    through the kernel (entropy/pallas_rans.py) or the XLA scan twin.
     """
-    from jxl_tpu.codec.layout import N_CTX, lossless_layout, padded_layout
+    from jxl_tpu.codec.encode import ac_step_ctx
+    from jxl_tpu.codec.layout import lossless_layout, padded_layout
     from jxl_tpu.entropy.grouped import GROUP, decode_grouped, kernel_rows
     from jxl_tpu.entropy.pallas_rans import decode_grouped_pallas, rows_padded
     from jxl_tpu.entropy.tokens import ALPHABET
@@ -176,27 +207,56 @@ def _decode_packed_core(packed, distance, *, height, width, lanes, epf, capw, ca
     )
     T = lay["T"]
     G = lanes // GROUP
-    nf = N_CTX * ALPHABET
+    n_ctx = lay["n_ctx"]
+    nf = n_ctx * ALPHABET
     params = packed[0]
-    freq = packed[1 : 1 + nf].reshape(N_CTX, ALPHABET)
+    freq = packed[1 : 1 + nf].reshape(n_ctx, ALPHABET)
     states = packed[1 + nf : 1 + nf + lanes]
     o = 1 + nf + lanes
     words_g = packed[o : o + G * capw].reshape(G, capw)
     mant_g = packed[o + G * capw : o + G * capw + G * capm].reshape(G, capm)
     cum = jnp.concatenate(
-        [jnp.zeros((N_CTX, 1), jnp.uint32), jnp.cumsum(freq, axis=1)[:, :-1]], axis=1
+        [jnp.zeros((n_ctx, 1), jnp.uint32), jnp.cumsum(freq, axis=1)[:, :-1]], axis=1
     )
-    rows = kernel_rows(jnp.asarray(lay["step_ctx"]), freq, cum)
     from jxl_tpu.entropy.pallas_rans import fits_vmem
 
     if pallas and not fits_vmem(lanes, capw, capm):
         pallas = False  # stream buffers exceed VMEM: XLA path streams HBM
-    if pallas:
-        values_p = decode_grouped_pallas(
-            words_g, mant_g, states, rows_padded(rows, T), T=T, lanes=lanes
-        )
+
+    if lossless:
+        rows = kernel_rows(jnp.asarray(lay["step_ctx"]), freq, cum)
+        if pallas:
+            values_p = decode_grouped_pallas(
+                words_g, mant_g, states, rows_padded(rows, T), T=T, lanes=lanes
+            )
+        else:
+            values_p = decode_grouped(words_g, mant_g, states, rows, T=T, lanes=lanes)
     else:
-        values_p = decode_grouped(words_g, mant_g, states, rows, T=T, lanes=lanes)
+        t_a, t_b = lay["t_a"], T - lay["t_a"]
+        rows_a = kernel_rows(jnp.asarray(lay["step_ctx"][:t_a]), freq, cum)
+        if pallas:
+            vals_a, st_c, ptr_c = decode_grouped_pallas(
+                words_g, mant_g, states, rows_padded(rows_a, t_a),
+                T=t_a, lanes=lanes, return_carry=True,
+            )
+            _qf, q_sorted = _nnz_map_from_padded(vals_a, params, lay)
+            rows_b = kernel_rows(ac_step_ctx(lay, q_sorted), freq, cum)
+            vals_b = decode_grouped_pallas(
+                words_g, mant_g, st_c, rows_padded(rows_b, t_b),
+                T=t_b, lanes=lanes, ptr_init=ptr_c,
+            )
+        else:
+            vals_a, st_f, gptr, bptr = decode_grouped(
+                words_g, mant_g, states, rows_a, T=t_a, lanes=lanes,
+                return_carry=True,
+            )
+            _qf, q_sorted = _nnz_map_from_padded(vals_a, params, lay)
+            rows_b = kernel_rows(ac_step_ctx(lay, q_sorted), freq, cum)
+            vals_b = decode_grouped(
+                words_g, mant_g, st_f, rows_b, T=t_b, lanes=lanes,
+                gptr0=gptr, bptr0=bptr,
+            )
+        values_p = jnp.concatenate([vals_a, vals_b])
 
     # strip the per-run K-padding back out (static slices)
     parts = [
@@ -254,7 +314,8 @@ def _decode_packed_grid(packed_b, distances, *, height, width, lanes, epf, capw,
 
         return jax.lax.map(one, (packed_b, distances))
 
-    from jxl_tpu.codec.layout import N_CTX, padded_layout
+    from jxl_tpu.codec.encode import ac_step_ctx
+    from jxl_tpu.codec.layout import padded_layout
     from jxl_tpu.entropy.grouped import GROUP, kernel_rows
     from jxl_tpu.entropy.pallas_rans import (
         decode_grouped_pallas_batched,
@@ -266,41 +327,65 @@ def _decode_packed_grid(packed_b, distances, *, height, width, lanes, epf, capw,
 
     lay = padded_layout(height, width, lanes)
     T = lay["T"]
+    t_a = lay["t_a"]
+    t_b = T - t_a
     G = lanes // GROUP
     b_max = max(1, 8 // G)
     while b_max > 1 and not fits_vmem(b_max * lanes, capw, capm):
         b_max //= 2  # batched stream buffers must fit VMEM too
-    nf = N_CTX * ALPHABET
-    step_ctx = jnp.asarray(lay["step_ctx"])
+    n_ctx = lay["n_ctx"]
+    nf = n_ctx * ALPHABET
+    step_ctx_a = jnp.asarray(lay["step_ctx"][:t_a])
 
     def unpack(p):
-        freq = p[1 : 1 + nf].reshape(N_CTX, ALPHABET)
+        freq = p[1 : 1 + nf].reshape(n_ctx, ALPHABET)
         states = p[1 + nf : 1 + nf + lanes]
         o = 1 + nf + lanes
         wg = p[o : o + G * capw].reshape(G, capw)
         mg = p[o + G * capw : o + G * capw + G * capm].reshape(G, capm)
         cum = jnp.concatenate(
-            [jnp.zeros((N_CTX, 1), jnp.uint32), jnp.cumsum(freq, axis=1)[:, :-1]],
+            [jnp.zeros((n_ctx, 1), jnp.uint32), jnp.cumsum(freq, axis=1)[:, :-1]],
             axis=1,
         )
-        rows = rows_padded(kernel_rows(step_ctx, freq, cum), T)
-        return p[0], states, wg, mg, rows
+        rows_a = rows_padded(kernel_rows(step_ctx_a, freq, cum), t_a)
+        return p[0], states, wg, mg, rows_a, freq, cum
 
     parts = [unpack(packed_b[i]) for i in range(n)]
     values_chunks = []
     for s in range(0, n, b_max):
         chunk = parts[s : s + b_max]
         b = len(chunk)
-        vals = decode_grouped_pallas_batched(
-            jnp.concatenate([c[2] for c in chunk]),
-            jnp.concatenate([c[3] for c in chunk]),
+        wcat = jnp.concatenate([c[2] for c in chunk])
+        mcat = jnp.concatenate([c[3] for c in chunk])
+        # phase A (static contexts), carry out
+        vals_a, st_c, ptr_c = decode_grouped_pallas_batched(
+            wcat,
+            mcat,
             jnp.stack([c[1] for c in chunk]),
             jnp.stack([c[4] for c in chunk], axis=1),
-            T=T,
+            T=t_a,
             lanes=lanes,
             B=b,
+            return_carry=True,
         )
-        values_chunks.append(vals)
+        # per-image AC rows from each stream's decoded nnz map
+        rows_b = []
+        for i, c in enumerate(chunk):
+            _qf, q_sorted = _nnz_map_from_padded(vals_a[i], c[0], lay)
+            rows_b.append(
+                rows_padded(kernel_rows(ac_step_ctx(lay, q_sorted), c[5], c[6]), t_b)
+            )
+        vals_b = decode_grouped_pallas_batched(
+            wcat,
+            mcat,
+            st_c,
+            jnp.stack(rows_b, axis=1),
+            T=t_b,
+            lanes=lanes,
+            B=b,
+            ptr_init=ptr_c,
+        )
+        values_chunks.append(jnp.concatenate([vals_a, vals_b], axis=1))
     values_p = jnp.concatenate(values_chunks, axis=0)  # [N, n_padded]
     params_v = jnp.stack([c[0] for c in parts])
 
@@ -367,7 +452,23 @@ def _reconstruct(values, distance, params, *, height, width, epf=True, return_pl
 
     cfl = signed[n_acs + n_qf : n_acs + n_qf + n_cfl].reshape(2, ty, tx)
 
-    dc_start = n_acs + n_qf + n_cfl
+    # nnz-bucket map (v8): conditions the AC contexts AND defines the AC
+    # block-axis sort order that must be undone below
+    from jxl_tpu.codec.encode import bucket_perm
+    from jxl_tpu.codec.layout import NNZ_Q
+
+    nnz_start = n_acs + n_qf + n_cfl
+    n_nnz = lay["n_nnz"]
+    q_final = jnp.stack(
+        [
+            field(nnz_start + c * nb, nb, NNZ_Q, 5).reshape(-1)
+            for c in range(3)
+        ]
+    )
+    perm = bucket_perm(q_final, nb)
+    inv_perm = jnp.argsort(perm, axis=1)
+
+    dc_start = nnz_start + n_nnz
     dc_res = signed[dc_start : dc_start + n_dc].reshape(3, nby, nbx)
     # inverse DC predictor: none / west (row cumsum) / gradient (2D cumsum)
     dc_w = jnp.cumsum(dc_res, axis=2)
@@ -375,7 +476,8 @@ def _reconstruct(values, distance, params, *, height, width, epf=True, return_pl
         dc_mode == 0, dc_res, jnp.where(dc_mode == 1, dc_w, jnp.cumsum(dc_w, axis=1))
     )
 
-    ac = signed[dc_start + n_dc :].reshape(3, 63, nb).transpose(0, 2, 1)
+    ac_sorted = signed[dc_start + n_dc :].reshape(3, 63, nb).transpose(0, 2, 1)
+    ac = jnp.take_along_axis(ac_sorted, inv_perm[:, :, None], axis=1)  # [3, nb, 63]
     # Rebuild the 64-coefficient block: DC slot 0, then inverse zigzag
     # (as a permutation matmul — see transforms.dct.permute_last).
     acq_zz = jnp.concatenate([jnp.zeros((3, nb, 1), jnp.int32), ac], axis=-1)
@@ -480,8 +582,9 @@ def decode_stream_planes(stream: JxtStream):
 
 def _pack_stream_np(stream: JxtStream, capw: int, capm: int) -> np.ndarray:
     """Build the single packed u32 upload buffer for one stream with the
-    given (shared) per-group word/mantissa bucket sizes."""
-    from jxl_tpu.codec.layout import N_CTX
+    given (shared) per-group word/mantissa bucket sizes. Uploads the
+    cluster-EXPANDED [n_ctx, A] tables: uploads ride the fast direction of
+    the tunnel, and expansion on host keeps the device program gather-free."""
     from jxl_tpu.entropy.grouped import GROUP
     from jxl_tpu.entropy.tokens import ALPHABET
 
@@ -491,7 +594,7 @@ def _pack_stream_np(stream: JxtStream, capw: int, capm: int) -> np.ndarray:
     mant = np.frombuffer(stream.mant_bytes, dtype=np.uint8)
     wcounts = stream.wcounts.astype(np.int64)
     mcounts = stream.mcounts.astype(np.int64)
-    nf = N_CTX * ALPHABET
+    nf = h.n_ctx * ALPHABET
     packed = np.zeros(1 + nf + h.lanes + G * (capw + capm), dtype=np.uint32)
     packed[0] = h.decode_params
     packed[1 : 1 + nf] = stream.freq.reshape(-1)

@@ -30,14 +30,25 @@ import numpy as np
 
 from jxl_tpu.codec.config import CodecConfig
 from jxl_tpu.codec.container import JxtHeader, JxtStream, write_container
-from jxl_tpu.codec.layout import N_CTX, padded_layout, token_layout
+from jxl_tpu.codec.layout import (
+    CTX_AC_BASE,
+    N_CTX,
+    NNZ_EDGES,
+    NNZ_Q,
+    padded_layout,
+    token_layout,
+)
 from jxl_tpu.core.xyb import srgb_to_xyb
 from jxl_tpu.entropy.grouped import (
     GROUP,
     pack_mantissa_grouped,
     rans_encode_grouped,
 )
-from jxl_tpu.entropy.cluster import cluster_histograms
+from jxl_tpu.entropy.cluster import (
+    _entropy_bits,
+    cluster_histograms,
+    cluster_histograms_kmeans,
+)
 from jxl_tpu.entropy.rans import quantize_histograms_t
 from jxl_tpu.entropy.tokens import (
     ALPHABET,
@@ -340,27 +351,85 @@ def tokens_from_rgb(
 
         acs_tok, acs_on = map_field(acs)
         qf_tok, qf_on = map_field(qf_idx)
-        # 6-bit coding-mode field (container flags bits 2-7):
-        # bits 0-1 dc predictor, bit 2 acs-map pred, bit 3 qf-map pred
-        params = dc_mode | (acs_on << 2) | (qf_on << 3)
+
+        # --- nnz-bucket conditioning (container v8, VERDICT r3 item 1) ---
+        # Per-(channel, block) nonzero-count bucket; the AC histograms
+        # condition on it (contexts = channel x zigzag position x bucket).
+        # The ENCODER measures on its own exact histograms whether the
+        # conditioning pays (it loses when the AC payload is small and the
+        # map's signaling cost dominates — high distances, tiny images)
+        # and writes a ZERO map when it does not: the decoder simply
+        # conditions on whatever map it decodes, so no extra flag bit.
+        nb = lay["nb"]
+        nnz = jnp.sum(ac_zz != 0, axis=-1).astype(jnp.int32)  # [3, nb]
+        qb = jnp.zeros_like(nnz)
+        for e in NNZ_EDGES:
+            qb = qb + (nnz >= e).astype(jnp.int32)
+        av = zigzag_map(ac_zz)  # [3, nb, 63] u32
+        ac_tok_ids, _, _ = tokenize(av)
+        counts4 = _ac_counts4(ac_tok_ids, qb)  # [3, 63, Q, A]
+        h_cond = jnp.sum(_entropy_bits(counts4.astype(jnp.float32)))
+        h_marg = jnp.sum(_entropy_bits(counts4.sum(axis=2).astype(jnp.float32)))
+        # signaling cost if conditioned: cheaper of raw / causal-residual
+        # map coding, measured as exact entropy (alphabet is tiny)
+        qmap = qb.reshape(3, nby, nbx)
+        qres = zigzag_map(
+            jnp.stack([predict_lcol(qmap[c]) for c in range(3)]).reshape(3, -1)
+        ).astype(jnp.int32)
+
+        def _small_hist_bits(v, levels):
+            oh = (v[..., None] == jnp.arange(levels)[None, None, :]).astype(
+                jnp.float32
+            )
+            return jnp.sum(_entropy_bits(jnp.sum(oh, axis=1)))
+
+        sig_raw = _small_hist_bits(qb, NNZ_Q)
+        sig_res = _small_hist_bits(qres, 2 * NNZ_Q)
+        sig = jnp.minimum(sig_raw, sig_res)
+        # margin covers cluster-header growth + table-quantization slack
+        nnz_cond_on = (h_cond + sig + _nnz_margin_bits()) < h_marg
+        if _nnz_force() is not None:
+            nnz_cond_on = jnp.bool_(_nnz_force())
+        q_final = jnp.where(nnz_cond_on, qb, 0)
+
+        # nnz map section tokens: one causal-prediction flag shared by the
+        # three channels (params bit 4)
+        nnz_res = zigzag_map(
+            jnp.stack(
+                [predict_lcol(q_final.reshape(3, nby, nbx)[c]) for c in range(3)]
+            ).reshape(-1)
+        )
+        nnz_raw = q_final.reshape(-1).astype(jnp.uint32)
+        nnz_on = jnp.sum(_bits_proxy(nnz_res)) < jnp.sum(_bits_proxy(nnz_raw))
+        nnz_tok = jnp.where(nnz_on, nnz_res, nnz_raw)
+
+        # stable bucket sort of the block axis (identical on the decoder:
+        # keys are distinct, so the order is unique regardless of backend)
+        perm = bucket_perm(q_final, nb)
+        av_sorted = jnp.take_along_axis(av, perm[:, :, None], axis=1)
+        q_sorted = jnp.take_along_axis(q_final, perm, axis=1)
+
+        # 6-bit coding-mode field (container flags bits 2-7): bits 0-1 dc
+        # predictor, bit 2 acs-map pred, bit 3 qf-map pred, bit 4 nnz-map pred
+        params = dc_mode | (acs_on << 2) | (qf_on << 3) | (nnz_on.astype(jnp.uint32) << 4)
 
         values = jnp.concatenate(
             [
                 acs_tok,
                 qf_tok,
                 zigzag_map(jnp.concatenate(cfl_idx)),
+                nnz_tok,
                 zigzag_map(dc_res.reshape(-1)),
-                # z-major ([3, 63, nb]): contexts form long contiguous runs,
-                # the property the grouped rANS layer requires (layout.py).
-                zigzag_map(ac_zz.transpose(0, 2, 1).reshape(-1)),
+                # z-major ([3, 63, nb]) over the bucket-SORTED block axis:
+                # contexts form long contiguous runs, the property the
+                # grouped rANS layer requires (layout.py).
+                av_sorted.transpose(0, 2, 1).reshape(-1),
             ]
         )
         token, nbits, mant = tokenize(values)
+        return token, nbits, mant, params, q_sorted, counts4
 
-        counts = _histogram_mxu(token, lay["ctx"])
-        return token, nbits, mant, counts, params
-
-    token, nbits, mant, counts, params = one_pass(None)
+    token, nbits, mant, params, q_sorted, counts4 = one_pass(None)
     if effort >= 8:
         # TWO-PASS rate model (cjxl's higher efforts analog): re-run the
         # AC-strategy search AND the RDO quantizer with MEASURED per-symbol
@@ -369,31 +438,53 @@ def tokens_from_rgb(
         # decisions then optimize the image's actual coded size. e8 and e9
         # therefore produce different (better-RD) bitstreams than e7 even
         # where the transform ladders agree.
-        token, nbits, mant, counts, params = one_pass(_bits_lut_grid(counts))
-    return token, nbits, mant, counts, params
+        token, nbits, mant, params, q_sorted, counts4 = one_pass(
+            _bits_lut_grid(counts4.sum(axis=2))
+        )
+    return token, nbits, mant, params, q_sorted
 
 
-# Token-chunk size for the histogram one-hot matmul: bounds the [nc, A]
-# bf16 one-hot operand to ~0.4 GB so gigapixel token streams (51M tokens at
-# 4096x4096) don't materialize a multi-GB intermediate. Common image sizes
-# stay single-chunk (identical program to the unchunked form).
+# Token-chunk size for the histogram one-hot matmuls: bounds the one-hot
+# operands so gigapixel token streams (51M tokens at 4096x4096) don't
+# materialize a multi-GB intermediate. Common image sizes stay
+# single-chunk (identical program to the unchunked form).
 HIST_CHUNK = 4 * 1024 * 1024
+AC_CHUNK_B = 8192  # block-axis chunk for the [3, 63, Q, A] decision counts
 
 
-def _histogram_mxu(token: jnp.ndarray, ctx_np: np.ndarray) -> jnp.ndarray:
+def _nnz_margin_bits() -> float:
+    """Hysteresis for the nnz-conditioning decision: the measured entropy
+    win must exceed this to turn the map on (covers cluster-header growth,
+    12-bit table quantization slack, and boundary-step context mismatch —
+    all absent from the exact-entropy comparison). JXL_TPU_NNZ_MARGIN
+    overrides; JXL_TPU_NNZ_FORCE=0/1 pins the decision for A/B runs."""
+    import os
+
+    return float(os.environ.get("JXL_TPU_NNZ_MARGIN", "768"))
+
+
+def _nnz_force():
+    import os
+
+    v = os.environ.get("JXL_TPU_NNZ_FORCE")
+    return None if v is None or v == "" else bool(int(v))
+
+
+def _histogram_mxu(token: jnp.ndarray, ctx_np: np.ndarray, n_ctx: int) -> jnp.ndarray:
     """Per-context histogram as a one-hot matmul (MXU): a scatter-add into
     the bins costs ~15 ms at 1.19M tokens on v5e, the matmul ~5 ms. bf16
     0/1 inputs with f32 accumulation are exact below 2^24 counts — each
     chunk contributes at most HIST_CHUNK (= 2^22) to a bin, so the per-
     chunk dot is exact; cross-chunk accumulation is int32 so gigapixel
     streams (51M tokens at 4096x4096, where one dominant (ctx, token) bin
-    can exceed 2^24) stay exact too."""
+    can exceed 2^24) stay exact too. Used by the small-context paths
+    (lossless mode); the v8 lossy path uses _histogram_stepped."""
     n = token.shape[0]
-    counts = jnp.zeros((N_CTX, ALPHABET), jnp.int32)
+    counts = jnp.zeros((n_ctx, ALPHABET), jnp.int32)
     for s in range(0, n, HIST_CHUNK):
         e = min(s + HIST_CHUNK, n)
         ctx_c = jnp.asarray(ctx_np[s:e])
-        ctx_oh = (ctx_c[None, :] == jnp.arange(N_CTX)[:, None]).astype(jnp.bfloat16)
+        ctx_oh = (ctx_c[None, :] == jnp.arange(n_ctx)[:, None]).astype(jnp.bfloat16)
         tok_oh = (token[s:e, None] == jnp.arange(ALPHABET)[None, :]).astype(
             jnp.bfloat16
         )
@@ -403,33 +494,120 @@ def _histogram_mxu(token: jnp.ndarray, ctx_np: np.ndarray) -> jnp.ndarray:
     return counts
 
 
-def _bits_lut_grid(counts: jnp.ndarray) -> jnp.ndarray:
+def _histogram_stepped(
+    tokp: jnp.ndarray, step_ctx: jnp.ndarray, lanes: int, n_ctx: int
+) -> jnp.ndarray:
+    """Exact per-context histogram of a PADDED stream whose context is
+    constant within each K-token step (the v8 coding contract, mismatch
+    steps included — the tables must describe what actually gets coded).
+
+    Factored two-stage form: per-step symbol histograms first (a fused
+    compare+reduce over the lane axis; counts <= lanes), then a tiny
+    [T, n_ctx] one-hot matmul folds steps into contexts — ~130 MB of
+    traffic at 1.2M tokens instead of the [n, n_ctx] one-hot a generic
+    scatter-free histogram would materialize (1.8 GB at n_ctx = 765)."""
+    T = tokp.shape[0] // lanes
+    tok2 = tokp.reshape(T, lanes)
+    counts = jnp.zeros((n_ctx, ALPHABET), jnp.int32)
+    tchunk = max(1, HIST_CHUNK // lanes)
+    for s in range(0, T, tchunk):
+        e = min(s + tchunk, T)
+        t = tok2[s:e]
+        step_hist = jnp.sum(
+            (t[:, :, None] == jnp.arange(ALPHABET)[None, None, :]).astype(jnp.int32),
+            axis=1,
+        ).astype(jnp.float32)  # [tc, A], entries <= lanes
+        ctx_oh = (step_ctx[s:e, None] == jnp.arange(n_ctx)[None, :]).astype(
+            jnp.float32
+        )
+        counts = counts + jnp.dot(
+            ctx_oh.T,
+            step_hist,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        ).astype(jnp.int32)
+    return counts
+
+
+def _ac_counts4(ac_tok: jnp.ndarray, qb: jnp.ndarray) -> jnp.ndarray:
+    """[3, 63, NNZ_Q, A] AC token counts by (channel, position, bucket) —
+    the nnz-conditioning decision statistic. Factored einsum over the
+    block axis (chunked): exact (0/1 bf16 one-hots, f32 accumulation,
+    per-chunk sums <= AC_CHUNK_B < 2^24; cross-chunk int32)."""
+    nb = ac_tok.shape[1]
+    out = jnp.zeros((3, 63, NNZ_Q, ALPHABET), jnp.int32)
+    for s in range(0, nb, AC_CHUNK_B):
+        e = min(s + AC_CHUNK_B, nb)
+        t = ac_tok[:, s:e]  # [3, cb, 63]
+        oh_a = (t[..., None] == jnp.arange(ALPHABET)[None, None, None, :]).astype(
+            jnp.bfloat16
+        )
+        oh_q = (qb[:, s:e, None] == jnp.arange(NNZ_Q)[None, None, :]).astype(
+            jnp.bfloat16
+        )
+        out = out + jnp.einsum(
+            "cbq,cbpa->cpqa", oh_q, oh_a, preferred_element_type=jnp.float32
+        ).astype(jnp.int32)
+    return out
+
+
+def ac_step_ctx(lay, q_sorted: jnp.ndarray) -> jnp.ndarray:
+    """[T - t_a] per-AC-step context ids: the nnz-conditioned (channel,
+    position, bucket) of each step's FIRST token (layout.py rationale).
+    Everything is static except one tiny gather of the sorted bucket map.
+    Shared encoder/decoder ground truth — the decoder recomputes this from
+    the DECODED nnz map between its two scan phases."""
+    chan = lay["ac_step_chan"].astype(np.int64)
+    pos = lay["ac_step_pos"].astype(np.int64)
+    # bucket-major ids: base is the bucket-0 id; each bucket adds 3*63
+    base = (CTX_AC_BASE + chan * 63 + (pos - 1)).astype(np.int32)
+    flat_idx = (chan * lay["nb"] + lay["ac_step_blk"]).astype(np.int32)
+    qs = q_sorted.reshape(-1)[jnp.asarray(flat_idx)]
+    return jnp.asarray(base) + qs.astype(jnp.int32) * (3 * 63)
+
+
+def bucket_perm(q_final: jnp.ndarray, nb: int) -> jnp.ndarray:
+    """[3, nb] stable bucket-sort permutation of the block axis — the
+    shared encoder/decoder block order (keys are distinct, so the result
+    is backend-independent)."""
+    return jnp.argsort(
+        q_final.astype(jnp.int32) * nb + jnp.arange(nb, dtype=jnp.int32)[None, :],
+        axis=1,
+    )
+
+
+def _step_ctx_v8(lay, q_sorted: jnp.ndarray) -> jnp.ndarray:
+    """[T] per-step context ids: the layout's static ids for phase A plus
+    the nnz-conditioned AC ids."""
+    static_a = jnp.asarray(lay["step_ctx"][: lay["t_a"]])
+    return jnp.concatenate([static_a, ac_step_ctx(lay, q_sorted)])
+
+
+def _bits_lut_grid(counts_pos: jnp.ndarray) -> jnp.ndarray:
     """[3, 8, 8, A] measured bit cost per (storage position, symbol):
-    rANS cost log2(M / freq) under the image's quantized first-pass
-    histograms, plus the token's mantissa bits. Position -> context uses
-    the same zigzag-band map the token layout codes with; the (0, 0) slot
-    is never coded (DC plane / merged LLF) so its row costs zero."""
-    from jxl_tpu.codec.layout import N_BANDS, ac_band_table
+    rANS cost log2(M / freq) under the image's per-position first-pass
+    histograms (counts_pos: [3, 63, A], buckets marginalized), plus the
+    token's mantissa bits. The (0, 0) slot is never coded (DC plane /
+    merged LLF) so its row costs zero."""
     from jxl_tpu.entropy.rans import RANS_M, quantize_histograms_t
     from jxl_tpu.entropy.tokens import token_nbits
     from jxl_tpu.transforms.dct import zigzag_order
 
-    freq, _cum = quantize_histograms_t(counts)
+    freq, _cum = quantize_histograms_t(counts_pos.reshape(3 * 63, ALPHABET))
     sym_bits = jnp.log2(RANS_M / jnp.maximum(freq.astype(jnp.float32), 1.0))
     sym_bits = sym_bits + token_nbits(jnp.arange(ALPHABET))[None, :].astype(
         jnp.float32
-    )  # [C, A]
+    )  # [3*63, A]
+    sym_bits = sym_bits.reshape(3, 63, ALPHABET)
 
     zz = zigzag_order(8, 8)  # [64] flat index per zigzag position
     inv = np.argsort(zz)  # flat index -> zigzag position
-    band = ac_band_table()  # [63] band per zigzag position 1..63
-    ctx_grid = np.zeros((3, 8, 8), np.int32)
-    for c in range(3):
-        for flat in range(64):
-            p = int(inv[flat])
-            if p > 0:
-                ctx_grid[c, flat // 8, flat % 8] = 3 + c * N_BANDS + int(band[p - 1])
-    lut = sym_bits[jnp.asarray(ctx_grid)]  # [3, 8, 8, A]
+    pos_grid = np.zeros((8, 8), np.int32)  # storage slot -> position-1
+    for flat in range(64):
+        p = int(inv[flat])
+        if p > 0:
+            pos_grid[flat // 8, flat % 8] = p - 1
+    lut = sym_bits[:, jnp.asarray(pos_grid.reshape(-1))].reshape(3, 8, 8, ALPHABET)
     return lut.at[:, 0, 0, :].set(0.0)
 
 
@@ -439,12 +617,28 @@ _encode_stage1 = partial(
 )(tokens_from_rgb)
 
 
-def _packed_header_u32(lanes: int) -> int:
+# max signaled cluster tables: the k-means cap (entropy/cluster.py). The
+# packed buffer carries CLUSTERED tables + the context->cluster map instead
+# of the expanded [n_ctx, A] matrix — at v8's 765 contexts the expansion
+# would add ~160 KB to every speculative prefix fetch (~4 ms over the
+# tunnel); clustered form is ~8 KB.
+K_CLUSTERS = 64
+
+
+def _cmap_u32(n_ctx: int) -> int:
+    return -(-n_ctx // 4)
+
+
+def _tables_u32(n_ctx: int) -> int:
+    return min(K_CLUSTERS, n_ctx) * (-(-ALPHABET // 2))
+
+
+def _packed_header_u32(lanes: int, n_ctx: int = N_CTX) -> int:
     """u32 slots before the words section: sizes[2] + per-group word and
-    mantissa counts[8+8] + params[2] + freq[N_CTX*ALPHABET] + states[lanes].
-    params[0] carries the coding-mode word (bits 0-1: dc predictor mode);
-    params[1] is reserved."""
-    return 20 + N_CTX * ALPHABET + lanes
+    mantissa counts[8+8] + params[2] + cmap (4 u8/u32) + cluster tables
+    (2 u16/u32) + states[lanes]. params[0] carries the coding-mode word
+    (bits 0-1: dc predictor mode); params[1] is reserved."""
+    return 20 + _cmap_u32(n_ctx) + _tables_u32(n_ctx) + lanes
 
 
 def _encode_full_core(
@@ -481,11 +675,12 @@ def _encode_full_core(
                              offset right after the used words.
     """
     lay = padded_layout(height, width, lanes)
-    token, nbits, mant, counts, params = tokens_from_rgb(
+    token, nbits, mant, params, q_sorted = tokens_from_rgb(
         rgb, distance, height=height, width=width, effort=effort, hook_a=hook_a, hook_b=hook_b
     )
+    step_ctx = _step_ctx_v8(lay, q_sorted)
     return _entropy_and_pack(
-        token, nbits, mant, counts, lay, lanes, cap_bytes,
+        token, nbits, mant, step_ctx, lay, lanes, cap_bytes,
         pallas_enc=pallas_enc, params=params,
     )
 
@@ -567,12 +762,18 @@ def _unpack_u8_blocks_np(sec: np.ndarray, n: int) -> bytes:
 
 
 def _entropy_and_pack(
-    token, nbits, mant, counts, lay, lanes: int, cap_bytes: int,
+    token, nbits, mant, step_ctx, lay, lanes: int, cap_bytes: int,
     pallas_enc: bool = False, params=0,
 ):
     """Shared tail of every encoder mode (lossy VarDCT and lossless
-    modular): K-pad the token stream per the layout's spans, entropy-code
-    it with the grouped rANS, and pack the single output buffer.
+    modular): K-pad the token stream per the layout's spans, histogram it
+    under the per-step contexts, cluster + quantize the tables, entropy-
+    code with the grouped rANS, and pack the single output buffer.
+
+    step_ctx: [T] per-step context ids — static for lossless, traced for
+    v8 lossy streams (the AC phase conditions on the nnz map). The
+    histogram runs over the PADDED stream so padding zeros are charged to
+    the contexts that actually code them.
 
     pallas_enc=True routes the entropy tail through the Mosaic encode
     kernel (entropy/pallas_rans_enc.py): words + mantissa bytes emitted in
@@ -581,20 +782,7 @@ def _entropy_and_pack(
     (kernel differential tests + container round-trips pin this); a
     mantissa-bucket overflow (pathological low distance) is detectable by
     the host via mcounts > enc_caps()[1] and re-encoded via XLA."""
-    # Padding tokens are zeros in their run's context; add them to the
-    # histogram analytically (static per layout).
-    pad_counts = np.zeros((N_CTX, ALPHABET), np.int32)
-    for c, _dst, n_real, n_pad in lay["spans"]:
-        pad_counts[c, 0] += n_pad - n_real
-    counts_total = counts + jnp.asarray(pad_counts)
-    if _use_clustering():
-        # libjxl-style clustered context models: merge histograms on device
-        # while the merge shrinks the file (entropy/cluster.py). Rows become
-        # identical within a cluster; the container writer dedupes them into
-        # n_clusters signaled tables + a [C] map (container v6).
-        counts_total, _cmap = cluster_histograms(counts_total)
-    freq, cum = quantize_histograms_t(counts_total)
-
+    n_ctx = lay["n_ctx"]
     n_padded = lay["n_padded"]
     tokp = jnp.zeros((n_padded,), jnp.int32)
     nbp = jnp.zeros((n_padded,), jnp.int32)
@@ -606,7 +794,26 @@ def _entropy_and_pack(
         mantp = jax.lax.dynamic_update_slice(mantp, jax.lax.slice(mant, (src,), (src + n_real,)), (dst,))
         src += n_real
 
-    step_ctx = jnp.asarray(lay["step_ctx"])
+    step_ctx = jnp.asarray(step_ctx)
+    counts = _histogram_stepped(tokp, step_ctx, lanes, n_ctx)
+    k_cl = min(K_CLUSTERS, n_ctx)
+    if n_ctx > K_CLUSTERS:
+        # v8 lossy: 765 contexts — MXU k-means + header-aware greedy merge
+        cmap, ctables = cluster_histograms_kmeans(counts, k=k_cl)
+    elif _use_clustering():
+        # small-context modes (lossless): the exact greedy merge
+        merged, cmap = cluster_histograms(counts)
+        ctables = merged  # [n_ctx, A]; duplicate rows dedupe at write time
+        cmap = jnp.arange(n_ctx, dtype=jnp.int32)
+    else:
+        ctables = counts
+        cmap = jnp.arange(n_ctx, dtype=jnp.int32)
+    freqK, _cumK = quantize_histograms_t(ctables)
+    freq = freqK[cmap]  # expanded [n_ctx, A] for the coding scan
+    cum = jnp.concatenate(
+        [jnp.zeros((n_ctx, 1), jnp.uint32), jnp.cumsum(freq, axis=1)[:, :-1]],
+        axis=1,
+    )
     if pallas_enc:
         from jxl_tpu.entropy.grouped import kernel_rows
         from jxl_tpu.entropy.pallas_rans import rows_padded
@@ -628,7 +835,6 @@ def _entropy_and_pack(
     n_words = jnp.sum(wcounts)
     total_bytes = jnp.sum(mcounts)
 
-    hdr = _packed_header_u32(lanes)
     # Sublane-BLOCK packing (2 u16 / 4 bytes per u32 slot): a naive
     # reshape(-1, 2|4) + bitcast puts the pack axis in the minor (lane)
     # dimension, which TPU tiling pads to 128 — a 32-64x memory blowup
@@ -647,14 +853,32 @@ def _entropy_and_pack(
     mcounts8 = jnp.zeros((8,), jnp.uint32)
     mcounts8 = jax.lax.dynamic_update_slice(mcounts8, mcounts.astype(jnp.uint32), (0,))
 
+    hdr = _packed_header_u32(lanes, n_ctx)
+    # cmap: 4 u8 ids per u32; tables: 2 u16 freqs per u32 (tiny arrays —
+    # the relayout cost of these minor-dim packs is irrelevant)
+    cmv = cmap.astype(jnp.uint32)
+    cpad = _cmap_u32(n_ctx) * 4 - n_ctx
+    if cpad:
+        cmv = jnp.concatenate([cmv, jnp.zeros((cpad,), jnp.uint32)])
+    cmv = cmv.reshape(-1, 4)
+    cmap_packed = cmv[:, 0] | (cmv[:, 1] << 8) | (cmv[:, 2] << 16) | (cmv[:, 3] << 24)
+    tK = freqK.astype(jnp.uint32)
+    if ALPHABET % 2:
+        tK = jnp.concatenate([tK, jnp.zeros((k_cl, 1), jnp.uint32)], axis=1)
+    tables_packed = (tK[:, 0::2] | (tK[:, 1::2] << 16)).reshape(-1)
+
     buf = jnp.zeros((hdr + w2.shape[0] + m4.shape[0],), jnp.uint32)
     buf = buf.at[0].set(n_words.astype(jnp.uint32))
     buf = buf.at[1].set(total_bytes.astype(jnp.uint32))
     buf = jax.lax.dynamic_update_slice(buf, counts8, (2,))
     buf = jax.lax.dynamic_update_slice(buf, mcounts8, (10,))
     buf = buf.at[18].set(jnp.asarray(params, jnp.uint32))
-    buf = jax.lax.dynamic_update_slice(buf, freq.reshape(-1).astype(jnp.uint32), (20,))
-    buf = jax.lax.dynamic_update_slice(buf, states.astype(jnp.uint32), (20 + N_CTX * ALPHABET,))
+    o = 20
+    buf = jax.lax.dynamic_update_slice(buf, cmap_packed, (o,))
+    o += _cmap_u32(n_ctx)
+    buf = jax.lax.dynamic_update_slice(buf, tables_packed, (o,))
+    o += _tables_u32(n_ctx)
+    buf = jax.lax.dynamic_update_slice(buf, states.astype(jnp.uint32), (o,))
     buf = jax.lax.dynamic_update_slice(buf, w2, (hdr,))
     # mantissa blocks start right after the USED word blocks (block-rounded)
     n_wblk = (n_words.astype(jnp.int32) + WBLK - 1) // WBLK
@@ -703,11 +927,9 @@ def _encode_lossless_core(rgb, *, height: int, width: int, lanes: int, cap_bytes
     from jxl_tpu.codec.lossless import lossless_tokens
 
     lay = lossless_layout(height, width, lanes)
-    token, nbits, mant, counts, params = lossless_tokens(
-        rgb, height=height, width=width
-    )
+    token, nbits, mant, params = lossless_tokens(rgb, height=height, width=width)
     return _entropy_and_pack(
-        token, nbits, mant, counts, lay, lanes, cap_bytes, params=params
+        token, nbits, mant, lay["step_ctx"], lay, lanes, cap_bytes, params=params
     )
 
 
@@ -757,14 +979,17 @@ def _first_get_u32(lanes: int, n_px: int, lossless: bool = False) -> int:
     payload window covering ~4 bpp lossy / ~14 bpp lossless. Bigger streams
     trigger one extra tail fetch."""
     bpp_u32 = n_px // 2 if lossless else n_px // 8
+    n_ctx = 3 if lossless else N_CTX
     # + 2*BLK_U32: worst-case block rounding of the words + mantissa sections
-    return _packed_header_u32(lanes) + bpp_u32 + 4096 + 2 * BLK_U32
+    return _packed_header_u32(lanes, n_ctx) + bpp_u32 + 4096 + 2 * BLK_U32
 
 
-def _parse_packed(got: np.ndarray, buf, lanes: int):
+def _parse_packed(got: np.ndarray, buf, lanes: int, n_ctx: int = N_CTX):
     """Split a fetched packed-prefix into container pieces, fetching the
-    tail of `buf` if the speculative window was too small."""
-    hdr = _packed_header_u32(lanes)
+    tail of `buf` if the speculative window was too small. The tables
+    arrive CLUSTERED (cmap + <= K_CLUSTERS rows); the expanded [n_ctx, A]
+    matrix the container writer wants is a host-side gather."""
+    hdr = _packed_header_u32(lanes, n_ctx)
     n_words = int(got[0])
     total_bytes = int(got[1])
     G = lanes // GROUP
@@ -777,8 +1002,20 @@ def _parse_packed(got: np.ndarray, buf, lanes: int):
         tail = ready_get(jax.lax.slice(buf, (got.shape[0],), (need,)))
         got = np.concatenate([got, tail])
     params = int(got[18])
-    freq = got[20 : 20 + N_CTX * ALPHABET].reshape(N_CTX, ALPHABET)
-    states = got[20 + N_CTX * ALPHABET : hdr]
+    o = 20
+    cm = got[o : o + _cmap_u32(n_ctx)]
+    cmap = np.stack(
+        [(cm >> (8 * j)) & 0xFF for j in range(4)], axis=1
+    ).reshape(-1)[:n_ctx]
+    o += _cmap_u32(n_ctx)
+    k_cl = min(K_CLUSTERS, n_ctx)
+    tb = got[o : o + _tables_u32(n_ctx)].reshape(k_cl, -1)
+    tables = np.stack([tb & 0xFFFF, tb >> 16], axis=2).reshape(k_cl, -1)[
+        :, :ALPHABET
+    ]
+    o += _tables_u32(n_ctx)
+    freq = tables[cmap].astype(np.uint32)
+    states = got[o:hdr]
     words_b = _unpack_u16_blocks_np(got[hdr : hdr + ws_used], n_words)
     mant_b = _unpack_u8_blocks_np(got[hdr + ws_used : need], total_bytes)
     return freq, states, words_b, mant_b, wcounts, mcounts, params
@@ -818,7 +1055,7 @@ def _assemble_container(
         orig_name=orig_name,
         lanes=lanes,
         n_tokens=lay["n_tokens"],
-        n_ctx=N_CTX,
+        n_ctx=lay["n_ctx"],
         alphabet=ALPHABET,
         flags=(1 if config.epf else 0)
         | (2 if config.distance <= 0.0 else 0)
@@ -969,7 +1206,7 @@ def encode_image_async(rgb: np.ndarray, config: CodecConfig, orig_name: str = ""
 
     def finalize() -> bytes:
         got = np.asarray(pref)
-        pieces = _parse_packed(got, buf, lanes)
+        pieces = _parse_packed(got, buf, lanes, n_ctx=lay["n_ctx"])
         return _assemble_container(h, w, config, orig_name, lanes, lay, *pieces)
 
     return finalize

@@ -21,7 +21,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from jxl_tpu.codec.layout import N_CTX, lossless_layout
+from jxl_tpu.codec.layout import lossless_layout
 from jxl_tpu.entropy.tokens import ALPHABET, tokenize, zigzag_map, zigzag_unmap
 
 
@@ -60,7 +60,7 @@ def grad_reconstruct(res):
 
 
 def lossless_tokens(rgb, *, height: int, width: int):
-    """Pixels -> (tokens, nbits, mantissa, histogram counts, params) for
+    """Pixels -> (tokens, nbits, mantissa, params) for
     the lossless layout (contexts = channels).
 
     params (traced uint32): per-channel predictor mode, 2 bits each
@@ -89,12 +89,9 @@ def lossless_tokens(rgb, *, height: int, width: int):
     )
     values = zigzag_map(res.reshape(3, -1)).reshape(-1)
     token, nbits, mant = tokenize(values)
-
-    from jxl_tpu.codec.encode import _histogram_mxu
-
-    lay = lossless_layout(height, width, 128)  # ctx field is lanes-free
-    counts = _histogram_mxu(token, lay["ctx"])
-    return token, nbits, mant, counts, params
+    # histograms are computed by the shared entropy tail
+    # (encode._entropy_and_pack, stepped over the padded stream)
+    return token, nbits, mant, params
 
 
 def reconstruct_lossless(values, params, *, height: int, width: int):

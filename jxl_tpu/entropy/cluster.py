@@ -86,3 +86,90 @@ def cluster_histograms(counts: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     c, _alive, cmap = jax.lax.fori_loop(0, C - 1, body, init)
     expanded = jnp.round(c[cmap]).astype(jnp.int32)
     return expanded, cmap
+
+
+def cluster_histograms_kmeans(
+    counts: jnp.ndarray, k: int = 64, iters: int = 6
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Two-stage clustering for LARGE context counts (container v8's 765
+    position x bucket AC contexts): the greedy pairwise merge above is
+    O(C^3 A) — prohibitive at C=765 — so this first runs a Lloyd k-means
+    on the cross-entropy objective (assignment and center updates are both
+    MXU matmuls), then hands the <= k cluster centers to the header-aware
+    greedy merge, which keeps merging while the merge shrinks the file.
+
+    Returns (cmap [C] int32 cluster ids in [0, k), ctables [k, A] int32
+    merged counts — rows of dead clusters are zero). Correctness note:
+    center updates are one-hot matmuls in f32 HIGHEST, so any symbol that
+    occurs in a member context has a strictly positive center count, which
+    quantize_histograms_t turns into freq >= 1 — the rANS validity
+    requirement.
+    """
+    C, A = counts.shape
+    cf = counts.astype(jnp.float32)
+    totals = jnp.sum(cf, axis=1)
+
+    def assign_cost(centers):
+        p = centers / jnp.maximum(jnp.sum(centers, axis=1, keepdims=True), 1.0)
+        logp = jnp.log2(jnp.maximum(p, 1e-8))
+        # cost[i, j] = sum_a counts[i, a] * -log2 p_j[a]
+        return -jnp.dot(
+            cf, logp.T, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+
+    # Deterministic farthest-point init (k-means++ without randomness):
+    # picking the k HEAVIEST contexts fails badly here — v8's context set
+    # contains hundreds of near-identical pure-zero histograms whose totals
+    # dominate, so top-k centers collapse to a handful of effective
+    # clusters and Lloyd never recovers (empty centers price everything at
+    # the log-floor and stay empty). Instead start from the heaviest
+    # context and repeatedly add the context with the largest EXCESS bits
+    # (n * KL) under its current nearest center.
+    h_self = _entropy_bits(cf)  # [C]
+
+    def center_excess(center):
+        p = center / jnp.maximum(jnp.sum(center), 1.0)
+        logp = jnp.log2(jnp.maximum(p, 1e-8))
+        return jnp.maximum(-cf @ logp - h_self, 0.0)  # [C]
+
+    first = jnp.argmax(totals)
+    centers0 = jnp.zeros((k, A), jnp.float32).at[0].set(cf[first])
+
+    def init_body(j, state):
+        centers, mincost = state
+        pick = jnp.argmax(mincost)
+        centers = centers.at[j].set(cf[pick])
+        mincost = jnp.minimum(mincost, center_excess(cf[pick]))
+        return centers, mincost
+
+    centers, _ = jax.lax.fori_loop(
+        1, k, init_body, (centers0, center_excess(cf[first]))
+    )
+
+    def body(_, centers):
+        assign = jnp.argmin(assign_cost(centers), axis=1)
+        oh = (assign[:, None] == jnp.arange(k)[None, :]).astype(jnp.float32)
+        return jnp.dot(
+            oh.T, cf, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+
+    centers = jax.lax.fori_loop(0, iters, body, centers)
+    assign = jnp.argmin(assign_cost(centers), axis=1)
+    oh = (assign[:, None] == jnp.arange(k)[None, :]).astype(jnp.float32)
+    centers = jnp.dot(
+        oh.T, cf, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    import os
+
+    if os.environ.get("JXL_TPU_CLUSTER_NO_GREEDY"):  # diagnostic A/B knob
+        return assign.astype(jnp.int32), jnp.round(centers).astype(jnp.int32)
+    # header-aware greedy merge over the k centers (cheap at k = 64)
+    merged, inner_map = cluster_histograms(jnp.round(centers).astype(jnp.int32))
+    cmap = inner_map[assign]
+    # zero dead rows so the packed tables stay canonical
+    alive = (jnp.arange(k)[:, None] == inner_map[None, :]).any(axis=1)
+    ctables = jnp.where(alive[:, None], merged, 0)
+    return cmap.astype(jnp.int32), ctables.astype(jnp.int32)

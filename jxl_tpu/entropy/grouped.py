@@ -266,14 +266,21 @@ def pack_mantissa_grouped(nbits, mant, lanes: int, cap_bytes: int):
     return jax.lax.cond(jnp.max(bcount) <= capc, fast, slow, operand=None)
 
 
-@partial(jax.jit, static_argnames=("T", "lanes"))
-def decode_grouped(words_g, mant_g, states, rows, *, T: int, lanes: int):
+@partial(jax.jit, static_argnames=("T", "lanes", "return_carry"))
+def decode_grouped(
+    words_g, mant_g, states, rows, *, T: int, lanes: int,
+    gptr0=None, bptr0=None, return_carry: bool = False,
+):
     """XLA reference decoder — bit-exact mirror of the Pallas kernel.
 
     words_g: [G, capw] uint32 (one u16 word per element, group segments,
       >= 128 slack elements); mant_g: [G, capm] uint32 (one byte per
       element, >= 384 slack); states: [K] uint32; rows: [T, 128] i32 from
       kernel_rows. Returns values [T*K] uint32 (detokenized, pre-zigzag).
+
+    Two-phase use (container v8): gptr0/bptr0 [G] i32 resume the word and
+    mantissa stream pointers from a previous phase; return_carry=True also
+    returns (final_states [K] u32, final_gptr [G], final_bptr [G]).
     """
     G = lanes // GROUP
     x0 = states.astype(jnp.uint32).reshape(G, GROUP)
@@ -334,6 +341,14 @@ def decode_grouped(words_g, mant_g, states, rows, *, T: int, lanes: int):
         )
         return carry, value
 
-    init = (x0, jnp.zeros((G,), jnp.int32), jnp.zeros((G,), jnp.int32))
-    _, vals = jax.lax.scan(step, init, (rows_f, rows_c))
-    return vals.reshape(T * lanes)
+    init = (
+        x0,
+        jnp.zeros((G,), jnp.int32) if gptr0 is None else gptr0.astype(jnp.int32),
+        jnp.zeros((G,), jnp.int32) if bptr0 is None else bptr0.astype(jnp.int32),
+    )
+    carry, vals = jax.lax.scan(step, init, (rows_f, rows_c))
+    out = vals.reshape(T * lanes)
+    if return_carry:
+        xf, gf, bf = carry
+        return out, xf.reshape(lanes), gf, bf
+    return out

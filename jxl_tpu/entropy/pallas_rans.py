@@ -98,15 +98,18 @@ def _make_kernel(G: int, B: int = 1):
     sublane row, so the binary search stays correct per image."""
     Gt = B * G
 
-    def kernel(rows_ref, words_ref, mant_ref, states_ref, out_ref, x_scr, ptr_ref):
+    def kernel(
+        rows_ref, words_ref, mant_ref, states_ref, ptr_init_ref,
+        out_ref, states_out_ref, ptr_out_ref, x_scr, ptr_ref,
+    ):
         i = pl.program_id(0)
 
         @pl.when(i == 0)
         def _():
             x_scr[:] = states_ref[:]
             for g in range(Gt):
-                ptr_ref[g] = 0  # word stream pointer
-                ptr_ref[8 + g] = 0  # mantissa byte pointer
+                ptr_ref[g] = ptr_init_ref[g]  # word stream pointer
+                ptr_ref[8 + g] = ptr_init_ref[8 + g]  # mantissa byte pointer
 
         for s in range(SUBSTEPS):
             x = x_scr[:]
@@ -167,12 +170,33 @@ def _make_kernel(G: int, B: int = 1):
             )
             out_ref[s] = value
 
+        # carry out (two-phase decode, container v8): the final states and
+        # stream pointers let a second kernel invocation continue the scan
+        # with freshly computed context rows (the AC phase's contexts
+        # depend on the nnz map decoded in this phase). Padded no-op steps
+        # past T leave both unchanged, so "last grid iteration" == step T.
+        @pl.when(i == pl.num_programs(0) - 1)
+        def _():
+            states_out_ref[:] = x_scr[:]
+            for g in range(16):
+                ptr_out_ref[g] = ptr_ref[g]
+
     return kernel
 
 
-def _run_kernel(words_g, mant_g, st8, rows3, G: int, B: int, T: int, interpret: bool):
+def _run_kernel(
+    words_g, mant_g, st8, rows3, G: int, B: int, T: int, interpret: bool,
+    ptr_init=None,
+):
+    """Returns (values [Tp, 8, 128], final states [8, 128], final ptrs [16]).
+
+    ptr_init: optional [16] i32 initial (word, mantissa) stream pointers per
+    group row — the carry of a previous phase's scan (zeros = stream start).
+    """
     Tp = rows3.shape[0]
     assert Tp % SUBSTEPS == 0 and Tp >= T
+    if ptr_init is None:
+        ptr_init = jnp.zeros((16,), jnp.int32)
     return pl.pallas_call(
         _make_kernel(G, B),
         grid=(Tp // SUBSTEPS,),
@@ -183,62 +207,100 @@ def _run_kernel(words_g, mant_g, st8, rows3, G: int, B: int, T: int, interpret: 
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec(
-            (SUBSTEPS, 8, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((Tp, 8, 128), jnp.uint32),
+        out_specs=[
+            pl.BlockSpec(
+                (SUBSTEPS, 8, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Tp, 8, 128), jnp.uint32),
+            jax.ShapeDtypeStruct((8, 128), jnp.uint32),
+            jax.ShapeDtypeStruct((16,), jnp.int32),
+        ],
         scratch_shapes=[
             pltpu.VMEM((8, 128), jnp.uint32),
             pltpu.SMEM((16,), jnp.int32),
         ],
         interpret=interpret,
-    )(rows3, words_g.astype(jnp.int32), mant_g.astype(jnp.int32), st8)
+    )(
+        rows3,
+        words_g.astype(jnp.int32),
+        mant_g.astype(jnp.int32),
+        st8,
+        ptr_init.astype(jnp.int32),
+    )
 
 
-@partial(jax.jit, static_argnames=("T", "lanes", "interpret"))
-def decode_grouped_pallas(words_g, mant_g, states, rows, *, T: int, lanes: int, interpret: bool = False):
+@partial(jax.jit, static_argnames=("T", "lanes", "interpret", "return_carry"))
+def decode_grouped_pallas(
+    words_g, mant_g, states, rows, *, T: int, lanes: int, interpret: bool = False,
+    ptr_init=None, return_carry: bool = False,
+):
     """Kernel twin of grouped.decode_grouped. words_g must have >= WORD_SLACK
     and mant_g >= MANT_SLACK columns of tail padding; rows must be T-padded
-    to a SUBSTEPS multiple by rows_padded()."""
+    to a SUBSTEPS multiple by rows_padded().
+
+    Two-phase use (container v8): pass states/ptr_init from a previous
+    phase's carry and set return_carry=True to get
+    (values, final_states [8, 128] u32, final_ptrs [16] i32) back."""
     G = lanes // GROUP
 
     # stream buffers keep their true G rows (full-array blocks are exempt
     # from the 8-sublane tile rule); only the state tile is 8-padded
-    st8 = jnp.zeros((8, GROUP), jnp.uint32)
-    st8 = jax.lax.dynamic_update_slice(
-        st8, states.astype(jnp.uint32).reshape(G, GROUP), (0, 0)
+    if states.ndim == 2 and states.shape == (8, GROUP):
+        st8 = states.astype(jnp.uint32)  # already a carry tile
+    else:
+        st8 = jnp.zeros((8, GROUP), jnp.uint32)
+        st8 = jax.lax.dynamic_update_slice(
+            st8, states.astype(jnp.uint32).reshape(G, GROUP), (0, 0)
+        )
+    out, st_f, ptr_f = _run_kernel(
+        words_g, mant_g, st8, rows[:, None, :], G, 1, T, interpret,
+        ptr_init=ptr_init,
     )
-    out = _run_kernel(
-        words_g, mant_g, st8, rows[:, None, :], G, 1, T, interpret
-    )
-    return out[:T, :G, :].reshape(T * lanes)
+    vals = out[:T, :G, :].reshape(T * lanes)
+    if return_carry:
+        return vals, st_f, ptr_f
+    return vals
 
 
-@partial(jax.jit, static_argnames=("T", "lanes", "B", "interpret"))
+@partial(jax.jit, static_argnames=("T", "lanes", "B", "interpret", "return_carry"))
 def decode_grouped_pallas_batched(
-    words_g, mant_g, states, rows, *, T: int, lanes: int, B: int, interpret: bool = False
+    words_g, mant_g, states, rows, *, T: int, lanes: int, B: int,
+    interpret: bool = False, ptr_init=None, return_carry: bool = False,
 ):
     """Decode B same-geometry streams in ONE kernel run (see _make_kernel's
     batching note: fills the [8, 128] state tile, ~B x the tokens per
     vector op). The streams share T / lanes / capw / capm (an RD grid row
     satisfies this by construction — decode.decode_bytes_grid_stacked).
 
-    words_g: [B*G, capw]; mant_g: [B*G, capm]; states: [B, lanes];
-    rows: [Tp, B, 128] (per-image rows, each T-padded by rows_padded).
-    Returns values [B, T*lanes].
+    words_g: [B*G, capw]; mant_g: [B*G, capm]; states: [B, lanes] (or an
+    [8, 128] carry tile); rows: [Tp, B, 128] (per-image rows, each T-padded
+    by rows_padded). Returns values [B, T*lanes] (+ carry when requested).
     """
     G = lanes // GROUP
     Gt = B * G
     assert Gt <= 8, f"batch {B} x {G} groups exceeds the 8-sublane tile"
-    st8 = jnp.zeros((8, GROUP), jnp.uint32)
-    st8 = jax.lax.dynamic_update_slice(
-        st8, states.astype(jnp.uint32).reshape(Gt, GROUP), (0, 0)
+    if states.ndim == 2 and states.shape == (8, GROUP):
+        st8 = states.astype(jnp.uint32)
+    else:
+        st8 = jnp.zeros((8, GROUP), jnp.uint32)
+        st8 = jax.lax.dynamic_update_slice(
+            st8, states.astype(jnp.uint32).reshape(Gt, GROUP), (0, 0)
+        )
+    out, st_f, ptr_f = _run_kernel(
+        words_g, mant_g, st8, rows, G, B, T, interpret, ptr_init=ptr_init
     )
-    out = _run_kernel(words_g, mant_g, st8, rows, G, B, T, interpret)
-    return (
+    vals = (
         out[:T, :Gt, :].reshape(T, B, G, GROUP).transpose(1, 0, 2, 3).reshape(B, T * lanes)
     )
+    if return_carry:
+        return vals, st_f, ptr_f
+    return vals
 
 
 def fits_vmem(lanes: int, capw: int, capm: int, budget_bytes: int = 10 << 20) -> bool:

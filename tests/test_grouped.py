@@ -163,11 +163,11 @@ def test_histogram_chunked_matches_single():
     rng = np.random.default_rng(3)
     token = jnp.asarray(rng.integers(0, 52, size=5000).astype(np.int32))
     ctx = rng.integers(0, 24, size=5000).astype(np.int32)
-    ref = np.asarray(enc._histogram_mxu(token, ctx))
+    ref = np.asarray(enc._histogram_mxu(token, ctx, 24))
     old = enc.HIST_CHUNK
     try:
         enc.HIST_CHUNK = 700  # force 8 chunks
-        got = np.asarray(enc._histogram_mxu(token, ctx))
+        got = np.asarray(enc._histogram_mxu(token, ctx, 24))
     finally:
         enc.HIST_CHUNK = old
     np.testing.assert_array_equal(ref, got)
