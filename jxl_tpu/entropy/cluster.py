@@ -88,6 +88,63 @@ def cluster_histograms(counts: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     return expanded, cmap
 
 
+def _structural_groups(C: int, k: int):
+    """[C] static initial group ids for the v8 context set: the 9 non-AC
+    contexts individually, AC contexts by (bucket, channel, coarse band).
+    Falls back to id % k for non-v8 context counts."""
+    import numpy as np
+
+    from jxl_tpu.codec.layout import CTX_AC_BASE, N_CTX, NNZ_Q
+
+    if C != N_CTX or k < CTX_AC_BASE + 3 * 3 * NNZ_Q:
+        return (np.arange(C) % k).astype(np.int32)
+    g = np.zeros(C, np.int32)
+    g[:CTX_AC_BASE] = np.arange(CTX_AC_BASE)
+    pos = np.arange(3 * 63 * NNZ_Q)  # (q * 3 + c) * 63 + (p - 1)
+    p1 = pos % 63 + 1  # zigzag position 1..63
+    qc = pos // 63  # q * 3 + c
+    band4 = (p1 >= 2).astype(np.int32) + (p1 >= 8) + (p1 >= 32)
+    g[CTX_AC_BASE:] = CTX_AC_BASE + qc * 4 + band4
+    return g
+
+
+def _merge_rounds(c, k: int, rounds: int = 5):
+    """Vectorized agglomerative merge: per round every live cluster
+    proposes its best (lowest dH - header_saving) partner, and MUTUAL
+    negative-score pairs merge simultaneously — up to k/2 merges per
+    round instead of one per iteration, so 5 rounds replace the strictly
+    sequential k-1-step greedy (which cost ~0.5 ms of serial [k, k, A]
+    scans inside the fused encoder). Returns (counts, cmap [k])."""
+    iota = jnp.arange(k, dtype=jnp.int32)
+
+    def body(_, state):
+        c, alive, cmap = state
+        h = _entropy_bits(c)
+        pair = c[:, None, :] + c[None, :, :]
+        d_h = _entropy_bits(pair) - h[:, None] - h[None, :]
+        nz = c > 0.0
+        overlap = jnp.sum(
+            (nz[:, None, :] & nz[None, :, :]).astype(jnp.float32), axis=-1
+        )
+        saving = 8.0 * (2.0 + 3.0 * overlap)
+        valid = alive[:, None] & alive[None, :] & (iota[:, None] != iota[None, :])
+        score = jnp.where(valid, d_h - saving, jnp.inf)
+        best_j = jnp.argmin(score, axis=1).astype(jnp.int32)
+        best_s = jnp.min(score, axis=1)
+        mutual = (best_j[best_j] == iota) & (best_s < 0.0) & alive
+        absorb = mutual & (iota > best_j)  # higher index folds into lower
+        gain = mutual & (iota < best_j)
+        c = c + jnp.where(gain[:, None], c[best_j], 0.0)
+        c = jnp.where(absorb[:, None], 0.0, c)
+        alive = alive & ~absorb
+        rep = jnp.where(absorb, best_j, iota)
+        return c, alive, rep[cmap]
+
+    init = (c, jnp.ones((k,), bool), iota)
+    c, _alive, cmap = jax.lax.fori_loop(0, rounds, body, init)
+    return c, cmap
+
+
 def cluster_histograms_kmeans(
     counts: jnp.ndarray, k: int = 64, iters: int = 6
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -118,33 +175,21 @@ def cluster_histograms_kmeans(
             precision=jax.lax.Precision.HIGHEST,
         )
 
-    # Deterministic farthest-point init (k-means++ without randomness):
-    # picking the k HEAVIEST contexts fails badly here — v8's context set
-    # contains hundreds of near-identical pure-zero histograms whose totals
-    # dominate, so top-k centers collapse to a handful of effective
-    # clusters and Lloyd never recovers (empty centers price everything at
-    # the log-floor and stay empty). Instead start from the heaviest
-    # context and repeatedly add the context with the largest EXCESS bits
-    # (n * KL) under its current nearest center.
-    h_self = _entropy_bits(cf)  # [C]
-
-    def center_excess(center):
-        p = center / jnp.maximum(jnp.sum(center), 1.0)
-        logp = jnp.log2(jnp.maximum(p, 1e-8))
-        return jnp.maximum(-cf @ logp - h_self, 0.0)  # [C]
-
-    first = jnp.argmax(totals)
-    centers0 = jnp.zeros((k, A), jnp.float32).at[0].set(cf[first])
-
-    def init_body(j, state):
-        centers, mincost = state
-        pick = jnp.argmax(mincost)
-        centers = centers.at[j].set(cf[pick])
-        mincost = jnp.minimum(mincost, center_excess(cf[pick]))
-        return centers, mincost
-
-    centers, _ = jax.lax.fori_loop(
-        1, k, init_body, (centers0, center_excess(cf[first]))
+    # Deterministic STRUCTURAL init: one center per static context group
+    # (the 9 non-AC contexts individually + AC grouped by bucket x channel
+    # x 4 coarse bands = 57 groups). Picking the k HEAVIEST contexts fails
+    # badly here — v8's context set contains hundreds of near-identical
+    # pure-zero histograms whose totals dominate, so top-k centers
+    # collapse and Lloyd never recovers (empty centers price everything
+    # at the log-floor and stay empty). The structural grouping seeds one
+    # center per statistically-distinct stripe with a single static-one-
+    # hot matmul (no sequential farthest-point loop — it cost ~0.3 ms of
+    # strictly serial matvecs inside the fused encoder).
+    ginit = jnp.asarray(_structural_groups(C, k))
+    goh = (ginit[:, None] == jnp.arange(k)[None, :]).astype(jnp.float32)
+    centers = jnp.dot(
+        goh.T, cf, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
 
     def body(_, centers):
@@ -166,10 +211,7 @@ def cluster_histograms_kmeans(
 
     if os.environ.get("JXL_TPU_CLUSTER_NO_GREEDY"):  # diagnostic A/B knob
         return assign.astype(jnp.int32), jnp.round(centers).astype(jnp.int32)
-    # header-aware greedy merge over the k centers (cheap at k = 64)
-    merged, inner_map = cluster_histograms(jnp.round(centers).astype(jnp.int32))
+    # header-aware vectorized merge over the k centers
+    merged, inner_map = _merge_rounds(centers, k)
     cmap = inner_map[assign]
-    # zero dead rows so the packed tables stay canonical
-    alive = (jnp.arange(k)[:, None] == inner_map[None, :]).any(axis=1)
-    ctables = jnp.where(alive[:, None], merged, 0)
-    return cmap.astype(jnp.int32), ctables.astype(jnp.int32)
+    return cmap.astype(jnp.int32), jnp.round(merged).astype(jnp.int32)
