@@ -144,7 +144,9 @@ class JxtHeader:
 
         Lossy: bits 0-1 dc_mode, bit 2 AC reconstruction bias, bit 3
         ACS-map causal prediction, bit 4 QF-map causal prediction, bit 5
-        nnz-map causal prediction (v8). Lossless: the raw per-channel
+        nnz-map causal prediction (v8), bit 6 EPF enabled (TRACED so one
+        compiled decoder serves both per-image adaptive-EPF outcomes and
+        RD-grid rows can mix them). Lossless: the raw per-channel
         predictor-mode field."""
         if self.lossless:
             return self.mode_field
@@ -155,6 +157,7 @@ class JxtHeader:
             | (((m >> 2) & 1) << 3)
             | (((m >> 3) & 1) << 4)
             | (((m >> 4) & 1) << 5)
+            | ((1 if self.epf else 0) << 6)
         )
 
     @property

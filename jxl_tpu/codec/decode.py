@@ -512,7 +512,12 @@ def _reconstruct(values, distance, params, *, height, width, epf=True, return_pl
     if return_planes:
         return planes, eff_mul
     if epf:
-        planes = epf_apply(planes, eff_mul, distance)
+        # decode_params bit 6 carries the stream's effective EPF flag
+        # (config AND the encoder's per-image adaptive decision, v8) as a
+        # TRACED bit: the filter is computed (cheap) and selected, so one
+        # compiled decoder serves both outcomes and grid rows can mix them
+        epf_on = ((params >> 6) & 1).astype(planes.dtype)
+        planes = planes + epf_on * (epf_apply(planes, eff_mul, distance) - planes)
     planes = planes[:, :height, :width]
 
     x, y, b_res = planes[0], planes[1], planes[2]
@@ -543,7 +548,7 @@ def decode_stream_device(stream: JxtStream):
         height=h.height,
         width=h.width,
         lanes=h.lanes,
-        epf=h.epf,
+        epf=True,  # traced decode_params bit 6 governs actual filtering
         capw=capw,
         capm=capm,
         pallas=_use_pallas(),
@@ -571,7 +576,7 @@ def decode_stream_planes(stream: JxtStream):
         height=h.height,
         width=h.width,
         lanes=h.lanes,
-        epf=h.epf,
+        epf=False,  # stripe stitching runs ONE seam-exact EPF afterwards
         capw=capw,
         capm=capm,
         pallas=_use_pallas(),
@@ -628,10 +633,9 @@ def decode_bytes_grid_stacked(datas):
         s.header.height == h0.height
         and s.header.width == h0.width
         and s.header.lanes == h0.lanes
-        and s.header.epf == h0.epf
         and not s.header.lossless
         for s in streams
-    )
+    )  # EPF may differ per point: the traced decode_params bit governs it
     if not uniform:
         return None
 
@@ -649,7 +653,7 @@ def decode_bytes_grid_stacked(datas):
         height=h0.height,
         width=h0.width,
         lanes=h0.lanes,
-        epf=h0.epf,
+        epf=True,
         capw=capw,
         capm=capm,
         pallas=_use_pallas(),

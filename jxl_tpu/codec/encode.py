@@ -427,9 +427,9 @@ def tokens_from_rgb(
             ]
         )
         token, nbits, mant = tokenize(values)
-        return token, nbits, mant, params, q_sorted, counts4
+        return token, nbits, mant, params, q_sorted, counts4, values
 
-    token, nbits, mant, params, q_sorted, counts4 = one_pass(None)
+    token, nbits, mant, params, q_sorted, counts4, values = one_pass(None)
     if effort >= 8:
         # TWO-PASS rate model (cjxl's higher efforts analog): re-run the
         # AC-strategy search AND the RDO quantizer with MEASURED per-symbol
@@ -438,9 +438,55 @@ def tokens_from_rgb(
         # decisions then optimize the image's actual coded size. e8 and e9
         # therefore produce different (better-RD) bitstreams than e7 even
         # where the transform ladders agree.
-        token, nbits, mant, params, q_sorted, counts4 = one_pass(
+        token, nbits, mant, params, q_sorted, counts4, values = one_pass(
             _bits_lut_grid(counts4.sum(axis=2))
         )
+
+    if effort >= 3:
+        # Adaptive EPF signaling (VERDICT r3 item 4): the round-3 A/B
+        # (docs/epf_ab.md) showed EPF HURTS some content at low distance,
+        # yet the flag was set unconditionally. The encoder now runs the
+        # real decode-side reconstruction on its own token stream (the
+        # dense IDCT path costs ~0.1 ms), applies EPF, and signals whether
+        # the filtered planes are actually closer to the source (XYB MSE,
+        # quant-step-weighted so chroma's tiny numeric range still counts).
+        # params bit 5 -> container flags bit 7; the host ANDs it with
+        # config.epf into the decoder-visible EPF bit.
+        from jxl_tpu.codec.decode import _reconstruct
+        from jxl_tpu.core.xyb import xyb_to_srgb
+        from jxl_tpu.transforms.epf import epf_apply
+
+        # encoder params (bits: 0-1 dc, 2 acs, 3 qf, 4 nnz) -> the decoder's
+        # layout (bits: 0-1 dc, 2 BIAS, 3 acs, 4 qf, 5 nnz) — mirror of
+        # container.JxtHeader.decode_params
+        pu = jnp.asarray(params, jnp.uint32)
+        dec_params = (
+            (pu & 3)
+            | jnp.uint32(0b100)
+            | (((pu >> 2) & 1) << 3)
+            | (((pu >> 3) & 1) << 4)
+            | (((pu >> 4) & 1) << 5)
+        )
+        rec_planes, eff_mul = _reconstruct(
+            values, distance, dec_params, height=height, width=width,
+            epf=False, return_planes=True,
+        )
+        filtered = epf_apply(rec_planes, eff_mul, distance)
+
+        def rgb_err(p):
+            # same colorspace tail as the decoder, same domain as the
+            # harness's PSNR — the decision criterion IS the metric
+            x_, y_, br = p[0, :height, :width], p[1, :height, :width], p[2, :height, :width]
+            srgb = xyb_to_srgb(jnp.stack([x_, y_, br + y_], axis=-1))
+            return jnp.sum((srgb - img) ** 2)
+
+        epf_bit = (rgb_err(filtered) < rgb_err(rec_planes)).astype(jnp.uint32)
+    else:
+        epf_bit = jnp.uint32(1)
+    force = _epf_force()
+    if force is not None:
+        epf_bit = jnp.uint32(1 if force else 0)
+    params = params | (epf_bit << 5)
     return token, nbits, mant, params, q_sorted
 
 
@@ -467,6 +513,16 @@ def _nnz_force():
     import os
 
     v = os.environ.get("JXL_TPU_NNZ_FORCE")
+    return None if v is None or v == "" else bool(int(v))
+
+
+def _epf_force():
+    """Pin the adaptive-EPF decision (JXL_TPU_EPF_FORCE=0/1) for A/B runs
+    (tools/epf_ab.py) and tests; read at trace time like every JXL_TPU_*
+    knob (transforms/quant.py docstring)."""
+    import os
+
+    v = os.environ.get("JXL_TPU_EPF_FORCE")
     return None if v is None or v == "" else bool(int(v))
 
 
@@ -1057,12 +1113,25 @@ def _assemble_container(
         n_tokens=lay["n_tokens"],
         n_ctx=lay["n_ctx"],
         alphabet=ALPHABET,
-        flags=(1 if config.epf else 0)
+        # EPF: on only when BOTH the config allows it and the encoder's
+        # measured decision (params bit 5, tokens_from_rgb) says it helps
+        # this image at this distance; lossless never filters. Pre-v8
+        # lossy params lack the bit for the d<=0 case only.
+        flags=(
+            1
+            if (
+                config.epf
+                and config.distance > 0.0
+                and ((int(params) >> 5) & 1)
+            )
+            else 0
+        )
         | (2 if config.distance <= 0.0 else 0)
-        # v7 coding-mode field in bits 2-7: for lossy streams bits 0-1 =
-        # dc predictor / bit 2 = acs-map pred / bit 3 = qf-map pred
-        # (tokens_from_rgb); for lossless, 3 x 2-bit per-channel
-        # predictor modes (lossless.lossless_tokens)
+        # v8 coding-mode field in bits 2-7: for lossy streams bits 0-1 =
+        # dc predictor / bit 2 = acs-map pred / bit 3 = qf-map pred /
+        # bit 4 = nnz-map pred / bit 5 = epf-decision (tokens_from_rgb);
+        # for lossless, 3 x 2-bit per-channel predictor modes
+        # (lossless.lossless_tokens)
         | ((int(params) & 0x3F) << 2),
     )
     stream = JxtStream(

@@ -201,16 +201,18 @@ def decode_striped_device(data: bytes):
 
     planes_parts = []
     mul_parts = []
+    epf_votes = 0
     for s in sections:
         hs = read_container_header(s)
-        # the stitch takes distance/EPF/lossless from section 0: a
+        # the stitch takes distance/lossless from section 0: a
         # heterogeneous container (hand-built or future encoder change)
-        # would silently filter with the wrong EPF strength
+        # would silently filter with the wrong EPF strength. Each stripe
+        # carries its OWN adaptive-EPF decision (v8, encode.tokens_from_
+        # rgb); the single full-image filter follows the stripe majority.
         assert (
-            hs.distance == h0.distance
-            and hs.epf == h0.epf
-            and not hs.lossless
-        ), "striped sections disagree on distance/epf/lossless"
+            hs.distance == h0.distance and not hs.lossless
+        ), "striped sections disagree on distance/lossless"
+        epf_votes += 1 if hs.epf else 0
         planes, eff_mul = decode_stream_planes(read_container(s))
         planes_parts.append(planes)
         mul_parts.append(eff_mul)
@@ -222,7 +224,7 @@ def decode_striped_device(data: bytes):
         jnp.float32(h0.distance),
         height=height,
         width=width,
-        epf=h0.epf,
+        epf=epf_votes * 2 > len(sections),
     )
 
 
