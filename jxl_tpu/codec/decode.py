@@ -223,40 +223,55 @@ def _decode_packed_core(packed, distance, *, height, width, lanes, epf, capw, ca
     if pallas and not fits_vmem(lanes, capw, capm):
         pallas = False  # stream buffers exceed VMEM: XLA path streams HBM
 
-    if lossless:
-        rows = kernel_rows(jnp.asarray(lay["step_ctx"]), freq, cum)
-        if pallas:
-            values_p = decode_grouped_pallas(
-                words_g, mant_g, states, rows_padded(rows, T), T=T, lanes=lanes
-            )
-        else:
-            values_p = decode_grouped(words_g, mant_g, states, rows, T=T, lanes=lanes)
+    # both modes decode in TWO phases: static-context sections first, then
+    # the conditioned phase whose per-step contexts derive from phase A
+    # (lossy: the nnz-bucket map -> AC contexts; lossless: the 8x8
+    # activity-flag map -> pixel contexts)
+    t_a, t_b = lay["t_a"], T - lay["t_a"]
+    rows_a = kernel_rows(jnp.asarray(lay["step_ctx"][:t_a]), freq, cum)
+
+    def phase_b_ctx(vals_a):
+        if lossless:
+            from jxl_tpu.codec.encode import bucket_perm
+            from jxl_tpu.codec.layout import LL_Q
+            from jxl_tpu.codec.lossless import ll_step_ctx
+
+            nbl = lay["nbl"]
+            chans = []
+            for i in range(3):
+                _c, dst, n_real, _p = lay["spans"][i]
+                chans.append(
+                    jnp.clip(
+                        vals_a[dst : dst + n_real].astype(jnp.int32), 0, LL_Q - 1
+                    )
+                )
+            q = jnp.stack(chans)
+            q_sorted = jnp.take_along_axis(q, bucket_perm(q, nbl), axis=1)
+            return ll_step_ctx(lay, q_sorted)[t_a:]
+        _qf, q_sorted = _nnz_map_from_padded(vals_a, params, lay)
+        return ac_step_ctx(lay, q_sorted)
+
+    if pallas:
+        vals_a, st_c, ptr_c = decode_grouped_pallas(
+            words_g, mant_g, states, rows_padded(rows_a, t_a),
+            T=t_a, lanes=lanes, return_carry=True,
+        )
+        rows_b = kernel_rows(phase_b_ctx(vals_a), freq, cum)
+        vals_b = decode_grouped_pallas(
+            words_g, mant_g, st_c, rows_padded(rows_b, t_b),
+            T=t_b, lanes=lanes, ptr_init=ptr_c,
+        )
     else:
-        t_a, t_b = lay["t_a"], T - lay["t_a"]
-        rows_a = kernel_rows(jnp.asarray(lay["step_ctx"][:t_a]), freq, cum)
-        if pallas:
-            vals_a, st_c, ptr_c = decode_grouped_pallas(
-                words_g, mant_g, states, rows_padded(rows_a, t_a),
-                T=t_a, lanes=lanes, return_carry=True,
-            )
-            _qf, q_sorted = _nnz_map_from_padded(vals_a, params, lay)
-            rows_b = kernel_rows(ac_step_ctx(lay, q_sorted), freq, cum)
-            vals_b = decode_grouped_pallas(
-                words_g, mant_g, st_c, rows_padded(rows_b, t_b),
-                T=t_b, lanes=lanes, ptr_init=ptr_c,
-            )
-        else:
-            vals_a, st_f, gptr, bptr = decode_grouped(
-                words_g, mant_g, states, rows_a, T=t_a, lanes=lanes,
-                return_carry=True,
-            )
-            _qf, q_sorted = _nnz_map_from_padded(vals_a, params, lay)
-            rows_b = kernel_rows(ac_step_ctx(lay, q_sorted), freq, cum)
-            vals_b = decode_grouped(
-                words_g, mant_g, st_f, rows_b, T=t_b, lanes=lanes,
-                gptr0=gptr, bptr0=bptr,
-            )
-        values_p = jnp.concatenate([vals_a, vals_b])
+        vals_a, st_f, gptr, bptr = decode_grouped(
+            words_g, mant_g, states, rows_a, T=t_a, lanes=lanes,
+            return_carry=True,
+        )
+        rows_b = kernel_rows(phase_b_ctx(vals_a), freq, cum)
+        vals_b = decode_grouped(
+            words_g, mant_g, st_f, rows_b, T=t_b, lanes=lanes,
+            gptr0=gptr, bptr0=bptr,
+        )
+    values_p = jnp.concatenate([vals_a, vals_b])
 
     # strip the per-run K-padding back out (static slices)
     parts = [

@@ -983,9 +983,14 @@ def _encode_lossless_core(rgb, *, height: int, width: int, lanes: int, cap_bytes
     from jxl_tpu.codec.lossless import lossless_tokens
 
     lay = lossless_layout(height, width, lanes)
-    token, nbits, mant, params = lossless_tokens(rgb, height=height, width=width)
+    token, nbits, mant, params, q_sorted = lossless_tokens(
+        rgb, height=height, width=width
+    )
+    from jxl_tpu.codec.lossless import ll_step_ctx
+
     return _entropy_and_pack(
-        token, nbits, mant, lay["step_ctx"], lay, lanes, cap_bytes, params=params
+        token, nbits, mant, ll_step_ctx(lay, q_sorted), lay, lanes, cap_bytes,
+        params=params,
     )
 
 
@@ -1035,7 +1040,9 @@ def _first_get_u32(lanes: int, n_px: int, lossless: bool = False) -> int:
     payload window covering ~4 bpp lossy / ~14 bpp lossless. Bigger streams
     trigger one extra tail fetch."""
     bpp_u32 = n_px // 2 if lossless else n_px // 8
-    n_ctx = 3 if lossless else N_CTX
+    from jxl_tpu.codec.layout import LL_Q
+
+    n_ctx = 3 + 3 * LL_Q if lossless else N_CTX
     # + 2*BLK_U32: worst-case block rounding of the words + mantissa sections
     return _packed_header_u32(lanes, n_ctx) + bpp_u32 + 4096 + 2 * BLK_U32
 

@@ -170,22 +170,55 @@ def _pad_runs(runs, lanes: int):
     return spans, dst, np.asarray(step_ctx, dtype=np.int32)
 
 
+# lossless per-8x8-block activity classes: 0 = all residuals zero (the
+# block codes at ~0 bits through the degenerate-table trick), 1 = sparse,
+# 2 = busy. Edges on the nonzero count of the 64 residuals.
+LL_Q = 3
+LL_EDGES = (1, 33)
+
+
 @lru_cache(maxsize=None)
 def lossless_layout(height: int, width: int, lanes: int):
-    """Token layout for the lossless modular mode: three full-resolution
-    planes (Y, Co, Cg residuals), one context per channel."""
-    n = height * width
-    runs = [(c, n) for c in range(3)]
+    """Token layout for the lossless modular mode (v8): a per-(channel,
+    8x8 block) activity-flag section decoded first, then the three
+    residual planes 8-padded, BLOCK-major, with the block axis sorted by
+    activity class — the same two-phase conditioning the lossy AC path
+    uses (flat blocks cluster into a pure-zero context and code at
+    ~0.0004 bits/pixel; see the module docstring's bucket-sort rationale).
+
+    Contexts: 0-2 flag maps (per channel), 3.. pixels:
+    3 + q * 3 + c (activity-major, mirroring the AC id layout)."""
+    hp = -(-height // 8) * 8
+    wp = -(-width // 8) * 8
+    nbl = (hp // 8) * (wp // 8)
+    n_pix = hp * wp
+    runs = [(c, nbl) for c in range(3)]
+    runs += [(3 + c, n_pix) for c in range(3)]  # nominal q=0 ctx
     spans, dst, step_ctx = _pad_runs(runs, lanes)
+    t_a = sum(n_pad for _c, _d, _n, n_pad in spans[:3]) // lanes
+
+    # per-pixel-phase-step static metadata (first-token rule): channel and
+    # SORTED block index of the step's first token
+    chan_l, blk_l = [], []
+    for (c0, _d, n_real, n_pad), c in zip(spans[3:], range(3)):
+        for s in range(n_pad // lanes):
+            o = min(s * lanes, n_real - 1)
+            chan_l.append(c)
+            blk_l.append(o // 64)
     return {
         "runs": runs,
         "spans": spans,
-        "n_tokens": 3 * n,
+        "hp": hp,
+        "wp": wp,
+        "nbl": nbl,
+        "n_tokens": 3 * nbl + 3 * n_pix,
         "n_padded": dst,
         "T": dst // lanes,
-        "n_ctx": 3,
+        "t_a": t_a,
+        "n_ctx": 3 + 3 * LL_Q,
         "step_ctx": step_ctx,
-        "ctx": np.repeat(np.arange(3, dtype=np.int32), n),
+        "ll_step_chan": np.asarray(chan_l, np.int32),
+        "ll_step_blk": np.asarray(blk_l, np.int32),
     }
 
 

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from jxl_tpu.codec.layout import lossless_layout
 from jxl_tpu.entropy.tokens import ALPHABET, tokenize, zigzag_map, zigzag_unmap
@@ -59,50 +60,121 @@ def grad_reconstruct(res):
     return jnp.cumsum(jnp.cumsum(res, axis=1), axis=2)
 
 
+def _blockify(res, hp: int, wp: int):
+    """[3, h, w] -> 8-padded block-major [3, nbl, 64] (pad residuals 0)."""
+    h, w = res.shape[-2:]
+    rp = jnp.pad(res, ((0, 0), (0, hp - h), (0, wp - w)))
+    return rp.reshape(3, hp // 8, 8, wp // 8, 8).transpose(0, 1, 3, 2, 4).reshape(
+        3, (hp // 8) * (wp // 8), 64
+    )
+
+
+def _unblockify(blocks, hp: int, wp: int):
+    """Inverse of _blockify (padded planes [3, hp, wp])."""
+    return blocks.reshape(3, hp // 8, wp // 8, 8, 8).transpose(
+        0, 1, 3, 2, 4
+    ).reshape(3, hp, wp)
+
+
+def ll_step_ctx(lay, q_sorted):
+    """[T] per-step contexts: static flag-section prefix + activity-
+    conditioned pixel contexts (first-token rule) — the lossless twin of
+    encode._step_ctx_v8."""
+    static_a = jnp.asarray(lay["step_ctx"][: lay["t_a"]])
+    chan = lay["ll_step_chan"].astype(np.int64)
+    flat = (chan * lay["nbl"] + lay["ll_step_blk"]).astype(np.int32)
+    qs = q_sorted.reshape(-1)[jnp.asarray(flat)]
+    base = jnp.asarray((3 + chan).astype(np.int32))
+    return jnp.concatenate([static_a, base + qs.astype(jnp.int32) * 3])
+
+
 def lossless_tokens(rgb, *, height: int, width: int):
-    """Pixels -> (tokens, nbits, mantissa, params) for
-    the lossless layout (contexts = channels).
+    """Pixels -> (tokens, nbits, mantissa, params, q_sorted).
 
     params (traced uint32): per-channel predictor mode, 2 bits each
-    (bits 2c..2c+1 for channel c): 0 = none, 1 = west, 2 = gradient —
-    chosen per channel on the rate proxy (v7 container flags bits 2-7).
-    Adaptive choice matters exactly as for the lossy DC plane: on noisy
-    planes the gradient predictor doubles residual stddev vs none/west;
-    on smooth planes it wins. All three inverses are prefix sums, so
-    decode stays fully parallel whatever is picked.
+    (bits 2c..2c+1 for channel c): 0 = none, 1 = west, 2 = gradient,
+    3 = north — chosen per channel on the rate proxy (container flags
+    bits 2-7). All four inverses are prefix sums, so decode stays fully
+    parallel whatever is picked (north — a column cumsum — wins on
+    content with horizontal banding where gradient's unclamped overshoot
+    at hard edges explodes the residual range).
+
+    v8: residual planes are 8-padded, split into 8x8 blocks, and each
+    (channel, block) signals an activity class (layout.LL_EDGES buckets
+    on its nonzero count) in a section decoded before the pixels; the
+    pixel contexts condition on it and the block axis sorts by class —
+    flat regions then cost ~0.0004 bits/pixel instead of P(zero)-bits.
     """
+    from jxl_tpu.codec.layout import LL_EDGES, lossless_layout
+
     planes = ycocg_forward(rgb)
     w_ = jnp.pad(planes, ((0, 0), (0, 0), (1, 0)))[:, :, :-1]
     n_ = jnp.pad(planes, ((0, 0), (1, 0), (0, 0)))[:, :-1, :]
     nw_ = jnp.pad(planes, ((0, 0), (1, 0), (1, 0)))[:, :-1, :-1]
-    res_all = jnp.stack([planes, planes - w_, planes - w_ - n_ + nw_])  # [3mode, 3ch, H, W]
+    res_all = jnp.stack(
+        [planes, planes - w_, planes - w_ - n_ + nw_, planes - n_]
+    )  # [4mode, 3ch, H, W]
 
-    from jxl_tpu.codec.encode import _bits_proxy
+    from jxl_tpu.codec.encode import _bits_proxy, bucket_perm
 
-    mode_costs = jnp.sum(_bits_proxy(res_all), axis=(2, 3))  # [3mode, 3ch]
+    mode_costs = jnp.sum(_bits_proxy(res_all), axis=(2, 3))  # [4mode, 3ch]
     modes = jnp.argmin(mode_costs, axis=0).astype(jnp.uint32)  # [3ch]
     params = modes[0] | (modes[1] << 2) | (modes[2] << 4)
+    m = modes[:, None, None]
     res = jnp.where(
-        (modes == 0)[:, None, None],
+        m == 0,
         res_all[0],
-        jnp.where((modes == 1)[:, None, None], res_all[1], res_all[2]),
+        jnp.where(m == 1, res_all[1], jnp.where(m == 2, res_all[2], res_all[3])),
     )
-    values = zigzag_map(res.reshape(3, -1)).reshape(-1)
+
+    lay = lossless_layout(height, width, 128)  # geometry only (lanes-free)
+    hp, wp, nbl = lay["hp"], lay["wp"], lay["nbl"]
+    blocks = _blockify(res, hp, wp)  # [3, nbl, 64]
+    nnzb = jnp.sum(blocks != 0, axis=-1).astype(jnp.int32)
+    q = jnp.zeros_like(nnzb)
+    for e in LL_EDGES:
+        q = q + (nnzb >= e).astype(jnp.int32)
+    perm = bucket_perm(q, nbl)
+    blocks_sorted = jnp.take_along_axis(blocks, perm[:, :, None], axis=1)
+    q_sorted = jnp.take_along_axis(q, perm, axis=1)
+
+    values = jnp.concatenate(
+        [
+            q.reshape(-1).astype(jnp.uint32),  # flag maps, raw
+            zigzag_map(blocks_sorted.reshape(3, -1)).reshape(-1),
+        ]
+    )
     token, nbits, mant = tokenize(values)
     # histograms are computed by the shared entropy tail
     # (encode._entropy_and_pack, stepped over the padded stream)
-    return token, nbits, mant, params
+    return token, nbits, mant, params, q_sorted
 
 
 def reconstruct_lossless(values, params, *, height: int, width: int):
     """Decoded value stream -> exact RGB u8 pixels. params: per-channel
-    predictor modes (see lossless_tokens); pre-v7 streams decode with
-    gradient for every channel (JxtHeader.decode_params handles that)."""
+    predictor modes (see lossless_tokens)."""
+    from jxl_tpu.codec.encode import bucket_perm
+    from jxl_tpu.codec.layout import LL_Q, lossless_layout
+
+    lay = lossless_layout(height, width, 128)
+    hp, wp, nbl = lay["hp"], lay["wp"], lay["nbl"]
     params = jnp.asarray(params, jnp.uint32)
     modes = jnp.stack([(params >> (2 * c)) & 3 for c in range(3)]).astype(jnp.int32)
-    res = zigzag_unmap(values).reshape(3, height, width)
+    q = jnp.clip(
+        values[: 3 * nbl].astype(jnp.int32).reshape(3, nbl), 0, LL_Q - 1
+    )
+    perm = bucket_perm(q, nbl)
+    inv_perm = jnp.argsort(perm, axis=1)
+    blocks_sorted = zigzag_unmap(values[3 * nbl :]).reshape(3, nbl, 64)
+    blocks = jnp.take_along_axis(blocks_sorted, inv_perm[:, :, None], axis=1)
+    res = _unblockify(blocks, hp, wp)
     rec_w = jnp.cumsum(res, axis=2)
     rec_g = jnp.cumsum(rec_w, axis=1)
+    rec_n = jnp.cumsum(res, axis=1)
     m = modes[:, None, None]
-    planes = jnp.where(m == 0, res, jnp.where(m == 1, rec_w, rec_g))
+    planes = jnp.where(
+        m == 0,
+        res,
+        jnp.where(m == 1, rec_w, jnp.where(m == 2, rec_g, rec_n)),
+    )[:, :height, :width]
     return ycocg_inverse(planes)
