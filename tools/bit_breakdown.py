@@ -34,46 +34,53 @@ def breakdown(rgb, distance=1.0, effort=7):
     import jax.numpy as jnp
 
     from jxl_tpu.codec.config import CodecConfig
-    from jxl_tpu.codec.encode import _encode_stage1 as tokens_from_rgb
-    from jxl_tpu.codec.encode import encode_image
-    from jxl_tpu.codec.layout import (
-        N_BANDS,
-        N_CTX,
-        padded_layout,
-        token_layout,
+    from jxl_tpu.codec.encode import (
+        _encode_stage1 as tokens_from_rgb,
+        _histogram_stepped,
+        _step_ctx_v8,
+        encode_image,
+        pick_lanes,
     )
-    from jxl_tpu.entropy.cluster import cluster_histograms
+    from jxl_tpu.codec.layout import N_BANDS, padded_layout, token_layout
+    from jxl_tpu.entropy.cluster import cluster_histograms_kmeans
     from jxl_tpu.entropy.rans import RANS_M, quantize_histograms_t
     from jxl_tpu.entropy.tokens import ALPHABET
 
     h, w = rgb.shape[:2]
     lay = token_layout(h, w)
-    token, nbits, mant, counts, _dc_mode = tokens_from_rgb(
+    token, nbits, mant, params, q_sorted = tokens_from_rgb(
         jnp.asarray(rgb), distance, height=h, width=w, effort=effort
     )
-    token = np.asarray(token)
-    nbits = np.asarray(nbits)
 
-    # padded-layout pad counts (context-0 value tokens per span)
-    from jxl_tpu.codec.encode import pick_lanes
-
+    # v8 accounting: charge every token its ACTUAL coded cost — the rANS
+    # bits under its STEP's context (nnz-conditioned for the AC phase,
+    # boundary-step mismatch included), exactly the encoder's tables
+    # (stepped histogram -> k-means clustering -> 12-bit quantization).
     lanes = pick_lanes(lay["n_tokens"], 256)
     play = padded_layout(h, w, lanes)
-    pad_counts = np.zeros((N_CTX, ALPHABET), np.int64)
-    for c, _dst, n_real, n_pad in play["spans"]:
-        pad_counts[c, 0] += n_pad - n_real
-
-    counts_total = counts + jnp.asarray(pad_counts.astype(np.int32))
-    counts_total, _cmap = cluster_histograms(counts_total)
-    freq, _cum = quantize_histograms_t(counts_total)
-    freq = np.asarray(freq).astype(np.float64)
+    step_ctx = _step_ctx_v8(play, q_sorted)
+    tokp = jnp.zeros((play["n_padded"],), jnp.int32)
+    src = 0
+    tok_ctx = np.empty(lay["n_tokens"], np.int32)
+    step_ctx_np = np.asarray(step_ctx)
+    ctx_padded = np.repeat(step_ctx_np, lanes)
+    for _c, dst, n_real, _n_pad in play["spans"]:
+        tokp = tokp.at[dst : dst + n_real].set(token[src : src + n_real])
+        tok_ctx[src : src + n_real] = ctx_padded[dst : dst + n_real]
+        src += n_real
+    counts = _histogram_stepped(tokp, step_ctx, lanes, play["n_ctx"])
+    cmap, ctables = cluster_histograms_kmeans(counts, k=64)
+    freqK, _ = quantize_histograms_t(ctables)
+    freq = np.asarray(freqK)[np.asarray(cmap)].astype(np.float64)
     bits_tab = np.log2(RANS_M / np.maximum(freq, 1.0))  # [C, A]
 
-    ctx = lay["ctx"]
-    tok_bits = bits_tab[ctx, token]
+    token = np.asarray(token)
+    nbits = np.asarray(nbits)
+    tok_bits = bits_tab[tok_ctx, token]
     mant_bits = 8.0 * ((nbits + 7) // 8)
 
-    # section slicing
+    # section slicing (AC sections hold the same tokens whatever the
+    # bucket sort order — per-(channel, band) attribution is order-free)
     nb = lay["nb"]
     n_cfl = lay["n_cfl"]
     secs = []
@@ -81,6 +88,8 @@ def breakdown(rgb, distance=1.0, effort=7):
     secs.append(("acs_map", o, o + nb)); o += nb
     secs.append(("quant_field", o, o + nb)); o += nb
     secs.append(("cfl", o, o + n_cfl)); o += n_cfl
+    for c, nm in enumerate("XYB"):
+        secs.append((f"nnz_{nm}", o, o + nb)); o += nb
     for c, nm in enumerate("XYB"):
         secs.append((f"dc_{nm}", o, o + nb)); o += nb
     band_sizes = [np.sum(np.asarray(
@@ -99,7 +108,13 @@ def breakdown(rgb, distance=1.0, effort=7):
         nz = int((token[s:e] != 0).sum())
         rows.append((name, tb, mb, e - s, nz))
 
-    pad_bits = float((pad_counts * bits_tab).sum())
+    # padding tokens: zeros coded in their step's context
+    pad_bits = 0.0
+    src = 0
+    for _c, dst, n_real, n_pad in play["spans"]:
+        pads = ctx_padded[dst + n_real : dst + n_pad]
+        pad_bits += float(bits_tab[pads, 0].sum())
+        src += n_real
 
     data = encode_image(rgb, CodecConfig(distance=distance, effort=effort))
     total_bytes = len(data)
