@@ -1,4 +1,4 @@
-"""Assemble docs/results_round2/ from the three full-grid A/B runs.
+"""Assemble docs/results_round<N>/ from the three full-grid A/B runs.
 
 Reads benchmarks/<r>/synth for runs comparing BASELINE against each thesis
 variant (the reference's deliverable shape: mean-diff summary.csv,
@@ -6,7 +6,7 @@ variant (the reference's deliverable shape: mean-diff summary.csv,
 per-distance and per-content-family aggregates, and writes the README
 with the thesis-question verdict.
 
-Usage: python tools/ab_report.py <run_hp> <run_hfe> <run_comb>
+Usage: python tools/ab_report.py <run_hp> <run_hfe> <run_comb> [--out docs/results_round3]
 """
 
 import csv
@@ -16,11 +16,13 @@ import sys
 
 import numpy as np
 
-OUT = "docs/results_round2"
-FAMILY = {  # tools/make_test_images.GENERATORS cycle
+OUT = "docs/results_round3"
+FAMILY = {  # tools/make_test_images.GENERATORS
     "synth00": "photo", "synth01": "photo", "synth04": "photo", "synth05": "photo",
     "synth02": "graphics", "synth06": "graphics",
     "synth03": "portrait", "synth07": "portrait",
+    "synth08": "text", "synth11": "text",
+    "synth09": "diagonal", "synth10": "sky",
 }
 
 
@@ -41,19 +43,25 @@ def agg(rows, key_fn, fields):
 
 
 def main():
-    runs = {"HOMOGENEITY_PARTITIONING": sys.argv[1],
-            "HOMOGENEITY_FACTORED_ENTROPY": sys.argv[2],
-            "COMBINED": sys.argv[3]}
+    global OUT
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    for a in sys.argv[1:]:
+        if a.startswith("--out="):
+            OUT = a.split("=", 1)[1]
+    runs = {"HOMOGENEITY_PARTITIONING": args[0],
+            "HOMOGENEITY_FACTORED_ENTROPY": args[1],
+            "COMBINED": args[2]}
     os.makedirs(OUT, exist_ok=True)
     fields = ["Diff Compressed File Size", "Diff PSNR", "Diff SSIM",
               "Diff Butteraugli", "Diff SSIMULACRA2"]
 
     lines = [
-        "# Round-2 evaluation: the thesis A/B on the committed corpus",
+        "# Round-4 evaluation: the thesis A/B on the 12-image corpus",
         "",
         "Full reference grid (distance x effort = 50 points/image,",
-        "`benchmark.rs:637-638`) over the 8-image committed corpus",
-        "(`test_images/synth/`, three content families), run on one TPU",
+        "`benchmark.rs:637-638`) over the 12-image committed corpus",
+        "(`test_images/synth/`, six content families incl. the round-4",
+        "text/diagonal/sky additions), run on one TPU",
         "chip for BASELINE vs each thesis variant. Diffs are",
         "variant - baseline, aggregated as the reference's `summary.csv`",
         "does (mean over all rows). Positive 'Diff Compressed File Size'",
@@ -111,37 +119,62 @@ def main():
             )
         lines.append("")
 
-    # verdict paragraph (the "5 sentences")
+    # verdict paragraphs, numbers computed from THIS run's data
     lines += ["## Verdict", ""]
     hp, fe, cb = (overall[k] for k in runs)
+
+    def fam_stats(name):
+        rows = load_diffs(runs[name])
+        return agg(
+            rows,
+            lambda r: FAMILY.get(r["Original Image Name"].split(".")[0], "?"),
+            fields,
+        )
+
+    fe_fam = fam_stats("HOMOGENEITY_FACTORED_ENTROPY")
+    worst_fam = max(
+        fe_fam.items(), key=lambda kv: kv[1]["Diff Compressed File Size"]
+    )
     lines += [
         f"Neither hook pays under this codec. Hook A (partition override) "
         f"is a mild net loss ({hp['Diff Compressed File Size']:+.0f} B / "
-        f"{hp['Diff PSNR']:+.3f} dB mean): at low distances it spends "
-        "extra bits (up to ~1.2 KB/file at d=0.5) forcing 4x4/8x4/4x8 "
-        "splits where the RDO search's 8x8-or-merge choice was already "
-        "rate-optimal, and at high distances (d >= 6) it costs up to "
-        "0.12 dB PSNR and +0.4 Butteraugli because the forced small "
-        "transforms block the large merges that dominate there — smooth "
-        "portrait content, where the partition rule almost never fires, "
-        "is untouched. Hook B (0.8*avg(r) entropy scaling) is "
-        f"outright harmful ({fe['Diff Compressed File Size']:+.0f} B / "
-        f"{fe['Diff PSNR']:+.3f} dB mean), and the damage is almost "
-        "entirely on the sharp-graphics family (+16 KB, -3.5 dB): its "
-        "homogeneity ratios explode on high-contrast edges, and scaling "
-        "every candidate's rate estimate by them corrupts the "
-        "merge/split comparison wholesale rather than refining it. "
-        "COMBINED is within a few percent of hook B alone plus hook A "
-        f"alone ({cb['Diff Compressed File Size']:+.0f} B / "
-        f"{cb['Diff PSNR']:+.3f} dB), so the two hooks act "
-        "near-independently. Conclusion: against an encoder whose "
-        "strategy search already evaluates every candidate's measured "
-        "rate, homogeneity side-information is a constraint rather than "
-        "a signal — these heuristics were proposed against libjxl's "
-        "truncated heuristic search, where cheap side-information can "
-        "patch what the search never evaluates; a dense search leaves "
-        "them nothing to add, and the thesis-style summary.csv now "
-        "quantifies that on every grid point.",
+        f"{hp['Diff PSNR']:+.3f} dB mean): it forces 4x4/8x4/4x8 splits "
+        "where the dense RDO search's 8x8-or-merge choice was already "
+        "rate-optimal, and at high distances the forced small transforms "
+        "block the large merges that dominate there. Hook B (0.8*avg(r) "
+        f"entropy scaling) is outright harmful "
+        f"({fe['Diff Compressed File Size']:+.0f} B / "
+        f"{fe['Diff PSNR']:+.3f} dB mean), worst on the "
+        f"{worst_fam[0]} family "
+        f"({worst_fam[1]['Diff Compressed File Size']:+.0f} B / "
+        f"{worst_fam[1]['Diff PSNR']:+.3f} dB). COMBINED "
+        f"({cb['Diff Compressed File Size']:+.0f} B / "
+        f"{cb['Diff PSNR']:+.3f} dB) tracks hook A + hook B, so the two "
+        "act near-independently.",
+        "",
+        "WHY hook B collapses on sharp content: `EstimateEntropy`'s "
+        "return is a rate-distortion cost, and the hook multiplies it by "
+        "0.8 * avg(r_h, r_v, r_d) — a factor that is SMALL (<= ~0.8) "
+        "precisely when a candidate block's homogeneity ratios are near 1 "
+        "and LARGE on high-contrast edges. Multiplying cost by a "
+        "content-dependent factor rewards whichever candidate happens to "
+        "sit on homogeneous sub-blocks with an UNDERESTIMATED cost, "
+        "independent of its actual bits: on glyph/graphics content the "
+        "ratios explode (zero-crossing counts on hard edges), candidates "
+        "that should lose the argmin win it with costs scaled by wildly "
+        "different factors, and the merge/split comparison is corrupted "
+        "wholesale rather than refined. The effect is invisible on smooth "
+        "families because all candidates' ratios (hence factors) are "
+        "close, preserving the argmin order.",
+        "",
+        "Conclusion: against an encoder whose strategy search already "
+        "evaluates every candidate's measured rate, homogeneity "
+        "side-information is a constraint rather than a signal — these "
+        "heuristics were proposed against libjxl's truncated heuristic "
+        "search, where cheap side-information can patch what the search "
+        "never evaluates; a dense search leaves them nothing to add, and "
+        "the thesis-style summary.csv quantifies that on every grid "
+        "point of every family.",
         "",
         "Artifacts: per-pair `summary.csv` + `comparison_diffs.csv` and "
         "per-strategy RD-curve/boxplot plots in the subdirectories.",
