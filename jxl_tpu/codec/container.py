@@ -170,13 +170,17 @@ class JxtHeader:
 @dataclass
 class JxtStream:
     header: JxtHeader
-    freq: np.ndarray  # [n_ctx, A] uint32
+    freq: np.ndarray  # [n_ctx, A] uint32 (cluster-expanded)
     states: np.ndarray  # [K] uint32
     stream_words: bytes  # per-group consumption-order word segments, u16 LE
     mant_bytes: bytes  # per-group mantissa byte segments (LE within a value)
     wcounts: np.ndarray = None  # [G] uint32 words per group
     mcounts: np.ndarray = None  # [G] uint32 mantissa bytes per group
     acs_extra: bytes = b""
+    # clustered form (read_container fills these; the decoder uploads them
+    # instead of the 765-row expansion and expands with one device gather)
+    tables: np.ndarray = None  # [n_clusters, A] uint32
+    cmap: np.ndarray = None  # [n_ctx] uint8
 
 
 def write_container(s: JxtStream) -> bytes:
@@ -289,6 +293,7 @@ def read_container(data: bytes) -> JxtStream:
         off += n_ctx
     tables, off = _unpack_freq_tables(data, off, n_clusters, alphabet)
     freq = tables[cmap]
+    tables_out, cmap_out = tables, np.asarray(cmap, np.uint8)
     states = np.frombuffer(data, dtype="<u4", count=lanes, offset=off).astype(np.uint32)
     off += lanes * 4
     n_groups = lanes // 128
@@ -330,6 +335,8 @@ def read_container(data: bytes) -> JxtStream:
         wcounts=wcounts,
         mcounts=mcounts,
         acs_extra=acs_extra,
+        tables=tables_out,
+        cmap=cmap_out,
     )
 
 

@@ -208,11 +208,11 @@ def _decode_packed_core(packed, distance, *, height, width, lanes, epf, capw, ca
     T = lay["T"]
     G = lanes // GROUP
     n_ctx = lay["n_ctx"]
-    nf = n_ctx * ALPHABET
     params = packed[0]
-    freq = packed[1 : 1 + nf].reshape(n_ctx, ALPHABET)
-    states = packed[1 + nf : 1 + nf + lanes]
-    o = 1 + nf + lanes
+    freq = _expand_freq(packed, n_ctx)
+    o = _upload_hdr_u32(n_ctx)
+    states = packed[o : o + lanes]
+    o += lanes
     words_g = packed[o : o + G * capw].reshape(G, capw)
     mant_g = packed[o + G * capw : o + G * capw + G * capm].reshape(G, capm)
     cum = jnp.concatenate(
@@ -349,13 +349,13 @@ def _decode_packed_grid(packed_b, distances, *, height, width, lanes, epf, capw,
     while b_max > 1 and not fits_vmem(b_max * lanes, capw, capm):
         b_max //= 2  # batched stream buffers must fit VMEM too
     n_ctx = lay["n_ctx"]
-    nf = n_ctx * ALPHABET
     step_ctx_a = jnp.asarray(lay["step_ctx"][:t_a])
 
     def unpack(p):
-        freq = p[1 : 1 + nf].reshape(n_ctx, ALPHABET)
-        states = p[1 + nf : 1 + nf + lanes]
-        o = 1 + nf + lanes
+        freq = _expand_freq(p, n_ctx)
+        o = _upload_hdr_u32(n_ctx)
+        states = p[o : o + lanes]
+        o += lanes
         wg = p[o : o + G * capw].reshape(G, capw)
         mg = p[o + G * capw : o + G * capw + G * capm].reshape(G, capm)
         cum = jnp.concatenate(
@@ -600,11 +600,41 @@ def decode_stream_planes(stream: JxtStream):
     )
 
 
+def _upload_hdr_u32(n_ctx: int) -> int:
+    """u32 slots of the upload header before the states: params + packed
+    cmap (4 u8/u32) + packed cluster tables (2 u16/u32, K_UP rows)."""
+    from jxl_tpu.entropy.tokens import ALPHABET
+
+    k_up = min(64, n_ctx)
+    return 1 + (-(-n_ctx // 4)) + k_up * (-(-ALPHABET // 2))
+
+
+def _expand_freq(packed, n_ctx: int):
+    """Device-side inverse of _pack_stream_np's clustered-table packing:
+    returns freq [n_ctx, A] u32 (one tiny row gather — the expanded form
+    would add ~160 KB to every v8 upload)."""
+    from jxl_tpu.entropy.tokens import ALPHABET
+
+    cm = -(-n_ctx // 4)
+    k_up = min(64, n_ctx)
+    ta = -(-ALPHABET // 2)
+    cmv = packed[1 : 1 + cm]
+    cmap = jnp.stack(
+        [(cmv >> (8 * j)) & 0xFF for j in range(4)], axis=1
+    ).reshape(-1)[:n_ctx]
+    tb = packed[1 + cm : 1 + cm + k_up * ta].reshape(k_up, ta)
+    tables = jnp.stack([tb & 0xFFFF, tb >> 16], axis=2).reshape(k_up, -1)[
+        :, :ALPHABET
+    ]
+    return tables[cmap.astype(jnp.int32)]
+
+
 def _pack_stream_np(stream: JxtStream, capw: int, capm: int) -> np.ndarray:
     """Build the single packed u32 upload buffer for one stream with the
-    given (shared) per-group word/mantissa bucket sizes. Uploads the
-    cluster-EXPANDED [n_ctx, A] tables: uploads ride the fast direction of
-    the tunnel, and expansion on host keeps the device program gather-free."""
+    given (shared) per-group word/mantissa bucket sizes. Tables ride
+    CLUSTERED (cmap + <= 64 rows, ~8 KB) instead of the [n_ctx, A]
+    expansion (~160 KB at v8's 765 contexts); the device expands with one
+    row gather (_expand_freq)."""
     from jxl_tpu.entropy.grouped import GROUP
     from jxl_tpu.entropy.tokens import ALPHABET
 
@@ -614,13 +644,35 @@ def _pack_stream_np(stream: JxtStream, capw: int, capm: int) -> np.ndarray:
     mant = np.frombuffer(stream.mant_bytes, dtype=np.uint8)
     wcounts = stream.wcounts.astype(np.int64)
     mcounts = stream.mcounts.astype(np.int64)
-    nf = h.n_ctx * ALPHABET
-    packed = np.zeros(1 + nf + h.lanes + G * (capw + capm), dtype=np.uint32)
+    n_ctx = h.n_ctx
+    cm = -(-n_ctx // 4)
+    k_up = min(64, n_ctx)
+    ta = -(-ALPHABET // 2)
+    hdr = _upload_hdr_u32(n_ctx)
+    packed = np.zeros(hdr + h.lanes + G * (capw + capm), dtype=np.uint32)
     packed[0] = h.decode_params
-    packed[1 : 1 + nf] = stream.freq.reshape(-1)
-    packed[1 + nf : 1 + nf + h.lanes] = stream.states
-    wg = packed[1 + nf + h.lanes : 1 + nf + h.lanes + G * capw].reshape(G, capw)
-    mg = packed[1 + nf + h.lanes + G * capw :].reshape(G, capm)
+    cmap = stream.cmap
+    tables = stream.tables
+    if cmap is None or tables is None or len(tables) > k_up:
+        # hand-built streams without the clustered form: dedupe here
+        tables, cmap = np.unique(
+            np.asarray(stream.freq), axis=0, return_inverse=True
+        )
+        assert len(tables) <= k_up, "too many distinct tables for upload"
+    cpad = np.zeros(cm * 4, np.uint32)
+    cpad[:n_ctx] = np.asarray(cmap, np.uint32)
+    cpad = cpad.reshape(-1, 4)
+    packed[1 : 1 + cm] = (
+        cpad[:, 0] | (cpad[:, 1] << 8) | (cpad[:, 2] << 16) | (cpad[:, 3] << 24)
+    )
+    tpad = np.zeros((k_up, ta * 2), np.uint32)
+    tpad[: len(tables), :ALPHABET] = tables
+    packed[1 + cm : 1 + cm + k_up * ta] = (
+        tpad[:, 0::2] | (tpad[:, 1::2] << 16)
+    ).reshape(-1)
+    packed[hdr : hdr + h.lanes] = stream.states
+    wg = packed[hdr + h.lanes : hdr + h.lanes + G * capw].reshape(G, capw)
+    mg = packed[hdr + h.lanes + G * capw :].reshape(G, capm)
     wb = np.concatenate([[0], np.cumsum(wcounts)])
     mb = np.concatenate([[0], np.cumsum(mcounts)])
     for g in range(G):
