@@ -108,7 +108,11 @@ def main():
     # transfer overhead amortizes by B; device compute is the remaining
     # cost (encoder ~12 ms/0.39MP: Mosaic rANS encode kernel; decoder
     # ~11 ms: Mosaic rANS decode kernel).
-    B = 8
+    # B = 16: the measured batch-scaling knee (docs/batch_scaling_r04.md —
+    # combined throughput still gains ~13% from 8 to 16 as the fixed
+    # per-dispatch tunnel cost amortizes; the sweep reaches this batch by
+    # coalescing grid rows). JXL_BENCH_BATCH overrides.
+    B = int(os.environ.get("JXL_BENCH_BATCH", "16"))
     dists = [1.0] * B
     encode_image_grid(img, cfg, dists)  # compile grid programs
     iters = 3

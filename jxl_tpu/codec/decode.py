@@ -428,7 +428,7 @@ def unpredict_lcol(res: jnp.ndarray) -> jnp.ndarray:
     return jnp.cumsum(rest, axis=1)
 
 
-def _reconstruct(values, distance, params, *, height, width, epf=True, return_planes=False):
+def _reconstruct(values, distance, params, *, height, width, epf=True, return_planes=False, skip_merged=False):
     """Decoded value stream -> pixels (dequant, IDCT, CfL, EPF, colorspace).
 
     params (traced u32, JxtHeader.decode_params): bits 0-1 DC predictor
@@ -522,8 +522,9 @@ def _reconstruct(values, distance, params, *, height, width, epf=True, return_pl
 
     blocks = _reconstruct_sub8(storage, dc, acs)
     planes = blocks.transpose(0, 1, 3, 2, 4).reshape(3, nby * 8, nbx * 8)
-    for n, sid, _min_eff in MERGE_LADDER:
-        planes = _overlay_merged(planes, storage, dc, acs, n, sid)
+    if not skip_merged:
+        for n, sid, _min_eff in MERGE_LADDER:
+            planes = _overlay_merged(planes, storage, dc, acs, n, sid)
     if return_planes:
         return planes, eff_mul
     if epf:

@@ -467,20 +467,45 @@ def tokens_from_rgb(
             | (((pu >> 3) & 1) << 4)
             | (((pu >> 4) & 1) << 5)
         )
+        # skip_merged: 16x16+ regions reconstruct as their sub-8 slots in
+        # the DECISION's reconstruction only — merged transforms live on
+        # smooth content where the EPF delta is tiny, and dropping the
+        # dense overlay ladder from the fused encoder saves device time
         rec_planes, eff_mul = _reconstruct(
             values, distance, dec_params, height=height, width=width,
-            epf=False, return_planes=True,
+            epf=False, return_planes=True, skip_merged=True,
         )
         filtered = epf_apply(rec_planes, eff_mul, distance)
+
+        # 2x2 mean-pool before the colorspace tail: the binary comparison
+        # has the same sign on pooled pixels (EPF deltas are spatially
+        # dense) and pooling is a fused reduction — a ::2 strided slice
+        # here would trigger the minor-dim relayout penalty instead
+        # (ROADMAP "profiling facts").
+        h2, w2 = (height // 2) * 2, (width // 2) * 2
+
+        def pool(p):
+            return p[:, :h2, :w2].reshape(3, h2 // 2, 2, w2 // 2, 2).mean(
+                axis=(2, 4)
+            )
+
+        img_pooled = pool(img.transpose(2, 0, 1)).transpose(1, 2, 0)
 
         def rgb_err(p):
             # same colorspace tail as the decoder, same domain as the
             # harness's PSNR — the decision criterion IS the metric
-            x_, y_, br = p[0, :height, :width], p[1, :height, :width], p[2, :height, :width]
-            srgb = xyb_to_srgb(jnp.stack([x_, y_, br + y_], axis=-1))
-            return jnp.sum((srgb - img) ** 2)
+            q = pool(p)
+            srgb = xyb_to_srgb(jnp.stack([q[0], q[1], q[2] + q[1]], axis=-1))
+            return jnp.sum((srgb - img_pooled) ** 2)
 
-        epf_bit = (rgb_err(filtered) < rgb_err(rec_planes)).astype(jnp.uint32)
+        # require a 0.4% relative SSE win before turning the filter on:
+        # covers the pooled/skip_merged approximation error so near-ties
+        # (like the noisy bench image at d=1, where full-resolution EPF
+        # measures -0.011 dB) resolve to OFF rather than flipping on
+        # approximation noise
+        epf_bit = (rgb_err(filtered) < 0.996 * rgb_err(rec_planes)).astype(
+            jnp.uint32
+        )
     else:
         epf_bit = jnp.uint32(1)
     force = _epf_force()
