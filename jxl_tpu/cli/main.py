@@ -32,6 +32,16 @@ def _add_codec_args(p):
         default="BASELINE",
         help="codec variant: BASELINE | HOMOGENEITY_PARTITIONING | HOMOGENEITY_FACTORED_ENTROPY | COMBINED",
     )
+    p.add_argument(
+        "--lanes",
+        type=int,
+        default=256,
+        help="interleaved rANS streams (128-multiple). 1024 fills the "
+        "decode kernel's state tile for SINGLE-stream consumers (kernel "
+        "runs 4x fewer steps; measured +17%% wall here because the "
+        "tunnel dominates, more on direct-attached TPUs) at +4 B/lane "
+        "of container; the default favors ratio (docs/roofline_r04.md)",
+    )
 
 
 def cmd_encode(args) -> int:
@@ -40,7 +50,10 @@ def cmd_encode(args) -> int:
     from jxl_tpu.core.io import read_image
 
     cfg = CodecConfig(
-        distance=args.distance, effort=args.effort, strategy=Strategy[args.strategy]
+        distance=args.distance,
+        effort=args.effort,
+        strategy=Strategy[args.strategy],
+        lanes=getattr(args, "lanes", 256),
     )
     rgb = read_image(args.input)
     t0 = time.perf_counter()
