@@ -185,8 +185,12 @@ def _decode_packed_core(packed, distance, *, height, width, lanes, epf, capw, ca
                      DC predictor modes (grid rows never split compilation)
       [1:1+NF]       freq tables (n_ctx*A u32, cluster-expanded)
       [..:..+lanes]  final rANS states
-      [.. : ..+G*capw] per-group rANS words, one u16 word per u32
-      [.. : ..+G*capm] per-group mantissa bytes, one byte per u32
+      [.. : ..+G*capw/2] per-group rANS words, two u16 words per u32
+      [.. : ..+G*capm/4] per-group mantissa bytes, four per u32
+    The word/mantissa sections ride DENSE (the kernel-facing one-element-
+    per-u32 layout would quadruple the mantissa upload); the device
+    re-expands with a bitcast + widen (_unpack_sections), which XLA lowers
+    without the minor-dim relayout a strided interleave would cost.
 
     Lossy (v8) streams decode in TWO scan phases: the static-context
     sections (maps, CfL, nnz buckets, DC) first, then the AC phase whose
@@ -210,11 +214,7 @@ def _decode_packed_core(packed, distance, *, height, width, lanes, epf, capw, ca
     n_ctx = lay["n_ctx"]
     params = packed[0]
     freq = _expand_freq(packed, n_ctx)
-    o = _upload_hdr_u32(n_ctx)
-    states = packed[o : o + lanes]
-    o += lanes
-    words_g = packed[o : o + G * capw].reshape(G, capw)
-    mant_g = packed[o + G * capw : o + G * capw + G * capm].reshape(G, capm)
+    states, words_g, mant_g = _unpack_sections(packed, n_ctx, lanes, capw, capm)
     cum = jnp.concatenate(
         [jnp.zeros((n_ctx, 1), jnp.uint32), jnp.cumsum(freq, axis=1)[:, :-1]], axis=1
     )
@@ -353,11 +353,7 @@ def _decode_packed_grid(packed_b, distances, *, height, width, lanes, epf, capw,
 
     def unpack(p):
         freq = _expand_freq(p, n_ctx)
-        o = _upload_hdr_u32(n_ctx)
-        states = p[o : o + lanes]
-        o += lanes
-        wg = p[o : o + G * capw].reshape(G, capw)
-        mg = p[o + G * capw : o + G * capw + G * capm].reshape(G, capm)
+        states, wg, mg = _unpack_sections(p, n_ctx, lanes, capw, capm)
         cum = jnp.concatenate(
             [jnp.zeros((n_ctx, 1), jnp.uint32), jnp.cumsum(freq, axis=1)[:, :-1]],
             axis=1,
@@ -630,6 +626,36 @@ def _expand_freq(packed, n_ctx: int):
     return tables[cmap.astype(jnp.int32)]
 
 
+def _unpack_sections(p, n_ctx: int, lanes: int, capw: int, capm: int):
+    """Device-side inverse of _pack_stream_np's dense payload packing:
+    (states [lanes], words_g [G, capw], mant_g [G, capm]) u32. The u16
+    words / u8 mantissa bytes arrive two/four per u32; a bitcast to the
+    narrow type + reshape + widen re-expands them without the minor-dim
+    strided interleave that forces a relayout on TPU (ROADMAP profiling
+    notes)."""
+    from jxl_tpu.entropy.grouped import GROUP
+
+    G = lanes // GROUP
+    o = _upload_hdr_u32(n_ctx)
+    states = p[o : o + lanes]
+    o += lanes
+    wp = p[o : o + G * (capw // 2)].reshape(G, capw // 2)
+    mp = p[o + G * (capw // 2) : o + G * (capw // 2) + G * (capm // 4)].reshape(
+        G, capm // 4
+    )
+    words_g = (
+        jax.lax.bitcast_convert_type(wp, jnp.uint16)
+        .reshape(G, capw)
+        .astype(jnp.uint32)
+    )
+    mant_g = (
+        jax.lax.bitcast_convert_type(mp, jnp.uint8)
+        .reshape(G, capm)
+        .astype(jnp.uint32)
+    )
+    return states, words_g, mant_g
+
+
 def _pack_stream_np(stream: JxtStream, capw: int, capm: int) -> np.ndarray:
     """Build the single packed u32 upload buffer for one stream with the
     given (shared) per-group word/mantissa bucket sizes. Tables ride
@@ -650,7 +676,7 @@ def _pack_stream_np(stream: JxtStream, capw: int, capm: int) -> np.ndarray:
     k_up = min(64, n_ctx)
     ta = -(-ALPHABET // 2)
     hdr = _upload_hdr_u32(n_ctx)
-    packed = np.zeros(hdr + h.lanes + G * (capw + capm), dtype=np.uint32)
+    packed = np.zeros(hdr + h.lanes + G * (capw // 2 + capm // 4), dtype=np.uint32)
     packed[0] = h.decode_params
     cmap = stream.cmap
     tables = stream.tables
@@ -672,13 +698,19 @@ def _pack_stream_np(stream: JxtStream, capw: int, capm: int) -> np.ndarray:
         tpad[:, 0::2] | (tpad[:, 1::2] << 16)
     ).reshape(-1)
     packed[hdr : hdr + h.lanes] = stream.states
-    wg = packed[hdr + h.lanes : hdr + h.lanes + G * capw].reshape(G, capw)
-    mg = packed[hdr + h.lanes + G * capw :].reshape(G, capm)
+    wsec = packed[hdr + h.lanes : hdr + h.lanes + G * (capw // 2)].reshape(
+        G, capw // 2
+    )
+    msec = packed[hdr + h.lanes + G * (capw // 2) :].reshape(G, capm // 4)
     wb = np.concatenate([[0], np.cumsum(wcounts)])
     mb = np.concatenate([[0], np.cumsum(mcounts)])
     for g in range(G):
-        wg[g, : wcounts[g]] = words[wb[g] : wb[g + 1]]
-        mg[g, : mcounts[g]] = mant[mb[g] : mb[g + 1]]
+        tmpw = np.zeros(capw, dtype="<u2")
+        tmpw[: wcounts[g]] = words[wb[g] : wb[g + 1]]
+        wsec[g] = tmpw.view("<u4")
+        tmpm = np.zeros(capm, dtype=np.uint8)
+        tmpm[: mcounts[g]] = mant[mb[g] : mb[g + 1]]
+        msec[g] = tmpm.view("<u4")
     return packed
 
 
