@@ -70,7 +70,7 @@ def _battery_core(orig_u8, comp_u8):
     ssim = jnp.mean(_ssim_map(a, b))
     ms_ssim = _ms_ssim_t(a, b)
     ba = _butteraugli_map(a, b)
-    ba_max = jnp.quantile(ba, 0.9995)
+    ba_max = jnp.max(ba)
     ba_p3 = jnp.mean(ba**3) ** (1.0 / 3.0)
     f = _ssimulacra2_features(a, b)
     w = (
