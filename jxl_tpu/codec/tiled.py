@@ -127,11 +127,21 @@ def encode_image_striped(
         n_stripes = default_n_stripes(h, w)
     widths = stripe_widths(w, n_stripes)
     edges = np.concatenate([[0], np.cumsum(widths)])
-    jobs = [
-        (rgb[:, edges[i] : edges[i + 1]], config, orig_name if i == 0 else "")
-        for i in range(n_stripes)
-    ]
-    sections = encode_images(jobs)
+    stripes = [rgb[:, edges[i] : edges[i + 1]] for i in range(n_stripes)]
+    names = [orig_name if i == 0 else "" for i in range(n_stripes)]
+    if len(set(widths)) == 1 and config.distance > 0 and n_stripes > 1:
+        # equal-width lossy stripes encode as ONE device dispatch (the
+        # per-stripe pipeline floors at the tunnel's per-dispatch
+        # turnaround; the batched program pays it once per image)
+        from jxl_tpu.codec.encode import encode_images_batched_async
+
+        sections = encode_images_batched_async(
+            stripes, config, orig_names=names
+        )()
+    else:
+        sections = encode_images(
+            [(s, config, nm) for s, nm in zip(stripes, names)]
+        )
     return write_striped(h, w, sections)
 
 
