@@ -130,14 +130,21 @@ def encode_image_striped(
     stripes = [rgb[:, edges[i] : edges[i + 1]] for i in range(n_stripes)]
     names = [orig_name if i == 0 else "" for i in range(n_stripes)]
     if len(set(widths)) == 1 and config.distance > 0 and n_stripes > 1:
-        # equal-width lossy stripes encode as ONE device dispatch (the
-        # per-stripe pipeline floors at the tunnel's per-dispatch
-        # turnaround; the batched program pays it once per image)
+        # Equal-width lossy stripes encode as batched device dispatches
+        # (the per-stripe pipeline floors at the tunnel's per-dispatch
+        # turnaround). Two chunks, both dispatched before either
+        # finalizes: the raw-pixel H2D upload of chunk 2 — the dominant
+        # cost at multi-MP sizes — overlaps chunk 1's compute.
         from jxl_tpu.codec.encode import encode_images_batched_async
 
-        sections = encode_images_batched_async(
-            stripes, config, orig_names=names
-        )()
+        half = (n_stripes + 1) // 2 if n_stripes >= 4 else n_stripes
+        fins = [
+            encode_images_batched_async(
+                stripes[s : s + half], config, orig_names=names[s : s + half]
+            )
+            for s in range(0, n_stripes, half)
+        ]
+        sections = [sec for f in fins for sec in f()]
     else:
         sections = encode_images(
             [(s, config, nm) for s, nm in zip(stripes, names)]
