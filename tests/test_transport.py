@@ -104,6 +104,18 @@ def test_window_sizing_properties():
     assert _window_from_history(128, 96, 128, [1.0, 4.0]) is None
 
 
+def test_batched_images_byte_identical_to_single():
+    """encode_images_batched_async (one dispatch for N same-geometry
+    images) must reproduce per-image encode_image containers exactly."""
+    from jxl_tpu.codec.encode import encode_images_batched_async
+
+    cfg = CodecConfig(distance=1.2, effort=5)
+    imgs = [_img(s) for s in (1, 2, 3)]
+    singles = [encode_image(im, cfg) for im in imgs]
+    batched = encode_images_batched_async(imgs, cfg)()
+    assert batched == singles
+
+
 def test_async_grid_matches_sync_and_pipelines():
     """Two overlapped async rows must equal back-to-back sync rows."""
     img = _img(11)
