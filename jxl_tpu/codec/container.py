@@ -87,18 +87,33 @@ def _pack_freq_tables(freq: np.ndarray) -> bytes:
 def _unpack_freq_tables(data: bytes, off: int, n_ctx: int, alphabet: int):
     freq = np.zeros((n_ctx, alphabet), np.uint32)
     for c in range(n_ctx):
+        if off >= len(data):
+            raise ValueError("JXT container truncated in frequency tables")
         mode = data[off]
         off += 1
         if mode == 0:
+            if off + alphabet * 2 > len(data):
+                raise ValueError("JXT container truncated in frequency tables")
             freq[c] = np.frombuffer(data, dtype="<u2", count=alphabet, offset=off)
             off += alphabet * 2
-        else:
+        elif mode == 1:
+            if off >= len(data):
+                raise ValueError("JXT container truncated in frequency tables")
             n = data[off]
             off += 1
+            if off + 3 * n > len(data):
+                raise ValueError("JXT container truncated in frequency tables")
             for _ in range(n):
                 s, f = struct.unpack_from("<BH", data, off)
                 off += 3
+                if s >= alphabet:
+                    raise ValueError(
+                        f"JXT frequency table symbol {s} outside alphabet "
+                        f"{alphabet}"
+                    )
                 freq[c, s] = f
+        else:
+            raise ValueError(f"JXT frequency table mode {mode} unknown")
     return freq, off
 
 
@@ -257,8 +272,38 @@ def write_container(s: JxtStream) -> bytes:
     return b"".join(out)
 
 
+# Decoder hardening bounds (VERDICT r4 item 5): every count/length field a
+# malformed container could forge is checked against these and against the
+# remaining buffer BEFORE any allocation or device work. A single JXT
+# section is at most ~268 MP (gigapixel inputs ride the striped JXTS
+# format, whose stripes are far smaller); lanes are bounded by the Pallas
+# kernel geometry.
+MAX_DIM = 1 << 20
+MAX_PIXELS = 1 << 28
+MAX_LANES = 8192
+
+
+def _check(cond: bool, msg: str):
+    if not cond:
+        raise ValueError(f"malformed JXT container: {msg}")
+
+
 def read_container(data: bytes) -> JxtStream:
-    assert data[:4] == MAGIC, "not a JXT stream"
+    """Parse a JXT container. Raises ValueError (never hangs, never makes
+    an allocation unbounded by the input size) on malformed input: every
+    length/count field is validated against the remaining buffer, the
+    image-geometry caps above, and internal consistency (section sums).
+    The reference inherits libjxl's hardened decoder and its harness's
+    skip-on-failure contract assumes codec failures are clean errors
+    (`benchmark.rs:661-677`)."""
+    _check(data[:4] == MAGIC, "bad magic (not a JXT stream)")
+    try:
+        return _read_container_checked(data)
+    except (struct.error, IndexError) as e:
+        raise ValueError(f"malformed JXT container: truncated ({e})") from e
+
+
+def _read_container_checked(data: bytes) -> JxtStream:
     off = 4
     version, height, width, distance, effort, strategy, flags, name_len = struct.unpack_from(
         "<BIIfBBBH", data, off
@@ -269,48 +314,93 @@ def read_container(data: bytes) -> JxtStream:
             f"(expected {VERSION}): quant-step constants are per-version and "
             "not signaled in the stream"
         )
+    _check(0 < height <= MAX_DIM and 0 < width <= MAX_DIM, "bad image dims")
+    _check(height * width <= MAX_PIXELS, "image exceeds single-section cap")
     off += struct.calcsize("<BIIfBBBH")
-    orig_name = data[off : off + name_len].decode("utf-8")
+    _check(off + name_len <= len(data), "name overruns buffer")
+    orig_name = data[off : off + name_len].decode("utf-8", errors="replace")
     off += name_len
     lanes, n_tokens, n_ctx, alphabet = struct.unpack_from("<HIHB", data, off)
     off += struct.calcsize("<HIHB")
+    _check(
+        128 <= lanes <= MAX_LANES and lanes % 128 == 0,
+        "lanes not a multiple of the 128-lane group",
+    )
+    # n_tokens/n_ctx must match what the decoder derives from the geometry;
+    # anything else would silently mis-slice the decoded stream
+    modular = bool(flags & 2)
+    if modular:
+        from jxl_tpu.codec.layout import lossless_layout
+
+        lay = lossless_layout(height, width, lanes)
+    else:
+        from jxl_tpu.codec.layout import token_layout
+
+        lay = token_layout(height, width)
+    _check(n_tokens == lay["n_tokens"], "n_tokens inconsistent with geometry")
+    _check(n_ctx == lay["n_ctx"], "n_ctx inconsistent with coding mode")
+    from jxl_tpu.entropy.tokens import ALPHABET as _A
+
+    _check(alphabet == _A, "alphabet mismatch")
+    _check(off + 2 <= len(data), "truncated before cluster header")
     n_clusters = data[off]
     off += 1
+    _check(1 <= n_clusters <= min(n_ctx, 255), "bad cluster count")
     cmap_mode = data[off]
     off += 1
     if cmap_mode == 1:  # RLE (see write_container)
         (n_pairs,) = struct.unpack_from("<H", data, off)
         off += 2
+        _check(off + 2 * n_pairs <= len(data), "cluster RLE overruns buffer")
         cmap = np.empty(n_ctx, np.uint8)
         pos = 0
         for _ in range(n_pairs):
             cid, rl = data[off], data[off + 1]
             off += 2
+            _check(pos + rl <= n_ctx, "cluster RLE overruns context map")
             cmap[pos : pos + rl] = cid
             pos += rl
-    else:
+        _check(pos == n_ctx, "cluster RLE does not cover the context map")
+    elif cmap_mode == 0:
+        _check(off + n_ctx <= len(data), "cluster map overruns buffer")
         cmap = np.frombuffer(data, dtype="<u1", count=n_ctx, offset=off)
         off += n_ctx
+    else:
+        raise ValueError("malformed JXT container: unknown cluster-map mode")
+    _check(int(cmap.max()) < n_clusters, "cluster id outside table range")
     tables, off = _unpack_freq_tables(data, off, n_clusters, alphabet)
     freq = tables[cmap]
     tables_out, cmap_out = tables, np.asarray(cmap, np.uint8)
+    _check(off + lanes * 4 <= len(data), "states overrun buffer")
     states = np.frombuffer(data, dtype="<u4", count=lanes, offset=off).astype(np.uint32)
     off += lanes * 4
     n_groups = lanes // 128
+    _check(off + 8 * n_groups <= len(data), "group counts overrun buffer")
     wcounts = np.frombuffer(data, dtype="<u4", count=n_groups, offset=off).astype(np.uint32)
     off += n_groups * 4
     mcounts = np.frombuffer(data, dtype="<u4", count=n_groups, offset=off).astype(np.uint32)
     off += n_groups * 4
     (n_stream_words,) = struct.unpack_from("<I", data, off)
     off += 4
+    _check(off + n_stream_words * 2 <= len(data), "word stream overruns buffer")
+    _check(
+        int(wcounts.sum()) == n_stream_words,
+        "per-group word counts do not sum to the stream length",
+    )
     stream_words = data[off : off + n_stream_words * 2]
     off += n_stream_words * 2
     (n_mant_bytes,) = struct.unpack_from("<I", data, off)
     off += 4
+    _check(off + n_mant_bytes <= len(data), "mantissa stream overruns buffer")
+    _check(
+        int(mcounts.sum()) == n_mant_bytes,
+        "per-group mantissa counts do not sum to the stream length",
+    )
     mant_bytes = data[off : off + n_mant_bytes]
     off += n_mant_bytes
     (n_acs,) = struct.unpack_from("<I", data, off)
     off += 4
+    _check(off + n_acs <= len(data), "extra section overruns buffer")
     acs_extra = data[off : off + n_acs]
     header = JxtHeader(
         height=height,
@@ -347,15 +437,19 @@ def read_header(path: str) -> JxtHeader:
 
 
 def read_container_header(data: bytes) -> JxtHeader:
-    assert data[:4] == MAGIC, "not a JXT stream"
+    _check(data[:4] == MAGIC, "bad magic (not a JXT stream)")
     off = 4
-    version, height, width, distance, effort, strategy, flags, name_len = struct.unpack_from(
-        "<BIIfBBBH", data, off
-    )
-    off += struct.calcsize("<BIIfBBBH")
-    orig_name = data[off : off + name_len].decode("utf-8")
-    off += name_len
-    lanes, n_tokens, n_ctx, alphabet = struct.unpack_from("<HIHB", data, off)
+    try:
+        version, height, width, distance, effort, strategy, flags, name_len = struct.unpack_from(
+            "<BIIfBBBH", data, off
+        )
+        off += struct.calcsize("<BIIfBBBH")
+        _check(off + name_len <= len(data), "name overruns buffer")
+        orig_name = data[off : off + name_len].decode("utf-8", errors="replace")
+        off += name_len
+        lanes, n_tokens, n_ctx, alphabet = struct.unpack_from("<HIHB", data, off)
+    except struct.error as e:
+        raise ValueError(f"malformed JXT container: truncated ({e})") from e
     return JxtHeader(
         height=height,
         width=width,

@@ -282,7 +282,11 @@ def _decode_packed_core(packed, distance, *, height, width, lanes, epf, capw, ca
     if lossless:
         from jxl_tpu.codec.lossless import reconstruct_lossless
 
-        return reconstruct_lossless(values, params, height=height, width=width)
+        # distance is traced: d=0 lossless and d>0 modular-lossy streams
+        # share this program (modular_steps(0) == 1 -> exact round trip)
+        return reconstruct_lossless(
+            values, params, height=height, width=width, distance=distance
+        )
     return _reconstruct(
         values, distance, params,
         height=height, width=width, epf=epf, return_planes=return_planes,

@@ -1,4 +1,4 @@
-"""Lossless (d=0) modular mode — exact integer round trip.
+"""Modular mode — lossless (d=0) and modular-LOSSY (d>0) coding.
 
 The legacy pipeline's sweep grid includes distance 0.0, which in cjxl terms
 selects libjxl's modular lossless coder (`old_test_jxl.py:16-27`). This is
@@ -13,7 +13,24 @@ the TPU-native equivalent, designed so DECODE stays fully parallel:
 - entropy: the same grouped rANS layer as the lossy path (one context per
   channel), so the Pallas decode kernel serves both modes unchanged
 
-Everything is int32-exact end to end; tests assert bit-identical pixels.
+At d=0 everything is int32-exact end to end; tests assert bit-identical
+pixels.
+
+MODULAR-LOSSY (VERDICT r4 item 1): libjxl's codec falls back to modular/
+predictive tools on sharp synthetic content (text, graphics, hard
+diagonals) where a dense-DCT coder buys flat runs and hard edges very
+expensively — the reference's codec therefore has no graphics weakness
+(`/root/reference/benchmark-jpegxl/Dockerfile:40-43` builds the whole of
+libjxl, and `old_test_jxl.py:16-27` sweeps such content). The TPU-native
+analog: quantize the YCoCg-R planes with a distance-derived integer step
+(modular_steps), then run the EXACT lossless machinery — predictor
+search, activity conditioning, entropy tail — on the quantized planes.
+Closed loop by construction (the predictor operates on what the decoder
+reconstructs), per-pixel error bounded by step/2 per channel, and the
+step law reaches (1, 1, 1) at d=0 so one traced program serves both the
+lossless and the modular-lossy points of an RD sweep. The per-image
+VarDCT-vs-modular decision lives in codec.encode (measured container
+bytes at the calibrated matched-distortion step law).
 """
 
 from __future__ import annotations
@@ -24,6 +41,33 @@ import numpy as np
 
 from jxl_tpu.codec.layout import lossless_layout
 from jxl_tpu.entropy.tokens import ALPHABET, tokenize, zigzag_map, zigzag_unmap
+
+
+def _mod_coefs():
+    """Step-law coefficients (Y, Co, Cg) of the modular-lossy quantizer:
+    step_c = max(1, round(k_c * d^p)). Calibrated on the 12-image corpus
+    so modular distortion tracks the VarDCT path's at the same distance
+    (tools/modular_calib.py); JXL_TPU_MOD_Q='ky,kc,p' overrides."""
+    import os
+
+    v = os.environ.get("JXL_TPU_MOD_Q")
+    if v:
+        ky, kc, p = (float(x) for x in v.split(","))
+        return ky, kc, p
+    return 3.6, 5.4, 0.85
+
+
+def modular_steps(distance):
+    """Traced distance scalar -> int32 [3] quantization steps (Y, Co, Cg).
+
+    max(1, round(k * d^p)) per channel: exactly (1, 1, 1) at d <= ~0.15,
+    i.e. the lossless operating point — the d=0 sweep rows and the lossy
+    modular rows share one compiled program."""
+    ky, kc, p = _mod_coefs()
+    d = jnp.maximum(jnp.asarray(distance, jnp.float32), 0.0)
+    dp = d**p
+    raw = jnp.stack([ky * dp, kc * dp, kc * dp])
+    return jnp.maximum(jnp.round(raw).astype(jnp.int32), 1)
 
 
 def ycocg_forward(rgb):
@@ -88,8 +132,12 @@ def ll_step_ctx(lay, q_sorted):
     return jnp.concatenate([static_a, base + qs.astype(jnp.int32) * 3])
 
 
-def lossless_tokens(rgb, *, height: int, width: int):
+def lossless_tokens(rgb, *, height: int, width: int, distance=None):
     """Pixels -> (tokens, nbits, mantissa, params, q_sorted).
+
+    distance=None (or a traced 0.0) is the exact lossless mode; a traced
+    d>0 quantizes the YCoCg-R planes by modular_steps(d) FIRST and runs
+    the identical machinery on the quantized planes (modular-lossy).
 
     params (traced uint32): per-channel predictor mode, 2 bits each
     (bits 2c..2c+1 for channel c): 0 = none, 1 = west, 2 = gradient,
@@ -108,6 +156,11 @@ def lossless_tokens(rgb, *, height: int, width: int):
     from jxl_tpu.codec.layout import LL_EDGES, lossless_layout
 
     planes = ycocg_forward(rgb)
+    if distance is not None:
+        steps = modular_steps(distance)[:, None, None]
+        planes = jnp.round(
+            planes.astype(jnp.float32) / steps.astype(jnp.float32)
+        ).astype(jnp.int32)
     w_ = jnp.pad(planes, ((0, 0), (0, 0), (1, 0)))[:, :, :-1]
     n_ = jnp.pad(planes, ((0, 0), (1, 0), (0, 0)))[:, :-1, :]
     nw_ = jnp.pad(planes, ((0, 0), (1, 0), (1, 0)))[:, :-1, :-1]
@@ -150,9 +203,12 @@ def lossless_tokens(rgb, *, height: int, width: int):
     return token, nbits, mant, params, q_sorted
 
 
-def reconstruct_lossless(values, params, *, height: int, width: int):
-    """Decoded value stream -> exact RGB u8 pixels. params: per-channel
-    predictor modes (see lossless_tokens)."""
+def reconstruct_lossless(values, params, *, height: int, width: int, distance=None):
+    """Decoded value stream -> RGB u8 pixels. params: per-channel
+    predictor modes (see lossless_tokens). distance (traced, or None)
+    selects dequantization: the prefix-sum reconstruction yields the
+    QUANTIZED planes, which are scaled back by modular_steps(distance)
+    before the YCoCg inverse (identity at d=0 — exact round trip)."""
     from jxl_tpu.codec.encode import bucket_perm
     from jxl_tpu.codec.layout import LL_Q, lossless_layout
 
@@ -177,4 +233,16 @@ def reconstruct_lossless(values, params, *, height: int, width: int):
         res,
         jnp.where(m == 1, rec_w, jnp.where(m == 2, rec_g, rec_n)),
     )[:, :height, :width]
+    if distance is not None:
+        planes = planes * modular_steps(distance)[:, None, None]
+        # quantization can push reconstructed RGB out of [0, 255]; the
+        # lifting inverse would wrap on the u8 cast, so clip in RGB space
+        # (a no-op for d=0 streams, whose planes invert exactly in range)
+        y, co, cg = planes[0], planes[1], planes[2]
+        t = y - (cg >> 1)
+        g = cg + t
+        b = t - (co >> 1)
+        r = b + co
+        rgbp = jnp.stack([r, g, b], axis=-1)
+        return jnp.clip(rgbp, 0, 255).astype(jnp.uint8)
     return ycocg_inverse(planes)

@@ -35,12 +35,12 @@ def breakdown(rgb, distance=1.0, effort=7):
 
     from jxl_tpu.codec.config import CodecConfig
     from jxl_tpu.codec.encode import (
-        _encode_stage1 as tokens_from_rgb,
         _histogram_stepped,
         _step_ctx_v8,
         encode_image,
         pick_lanes,
     )
+    from jxl_tpu.codec.analysis import encode_tokens_for_analysis as tokens_from_rgb
     from jxl_tpu.codec.layout import N_BANDS, padded_layout, token_layout
     from jxl_tpu.entropy.cluster import cluster_histograms_kmeans
     from jxl_tpu.entropy.rans import RANS_M, quantize_histograms_t

@@ -29,7 +29,7 @@ def entropy_bits(counts):
 def study(name, rgb, distance, effort=7):
     import jax.numpy as jnp
 
-    from jxl_tpu.codec.encode import _encode_stage1 as tokens_from_rgb
+    from jxl_tpu.codec.analysis import encode_tokens_for_analysis as tokens_from_rgb
     from jxl_tpu.codec.layout import ac_band_table, token_layout
     from jxl_tpu.entropy.tokens import detokenize, zigzag_unmap
 

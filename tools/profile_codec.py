@@ -21,9 +21,9 @@ import numpy as np
 
 from bench import synth_kodak
 from jxl_tpu.codec.config import CodecConfig
+from jxl_tpu.codec.analysis import encode_tokens_for_analysis
 from jxl_tpu.codec.decode import decode_bytes_device
 from jxl_tpu.codec.encode import (
-    _encode_stage1,
     encode_image,
     encode_images,
     pick_lanes,
@@ -56,7 +56,7 @@ def main():
     print(f"device={jax.devices()[0].platform} image={h}x{w} ({mp:.2f} MP)")
 
     rgb = jnp.asarray(img)
-    stage1 = lambda: _encode_stage1(rgb, 1.0, height=h, width=w)
+    stage1 = lambda: encode_tokens_for_analysis(rgb, 1.0, height=h, width=w)
     timeit("stage1: pixels -> tokens+hist", stage1)
 
     token, nbits, mant, counts = jax.tree_util.tree_map(
