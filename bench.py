@@ -117,34 +117,53 @@ def main():
     from jxl_tpu.codec.encode import encode_image_grid_async
 
     encode_image_grid(img, cfg, dists)  # compile grid programs
-    encode_image_grid(img, cfg, dists)  # adopt the history fetch window
+    datas = encode_image_grid(img, cfg, dists)  # adopt the history window
+    data = datas[-1]
+
     # Steady-state cadence at pipeline depth 2: row k's fetch + container
     # assembly overlaps row k+1's device compute (what a real sweep
     # sustains row after row); each timed cycle is one full row of B
-    # encodes.
+    # encodes. The priming dispatch and the last finalize both sit INSIDE
+    # the timed window (ADVICE r4: the old loop dispatched the first row
+    # before t0 and finalized the last row after, undercounting ~1/iters).
+    #
+    # REPEATS (VERDICT r4 weak 2): tunnel wall numbers swing run to run,
+    # so every wall measurement here is the MEDIAN of `reps` independent
+    # trials, with the min-max spread reported alongside — the headline
+    # ratio is median/median, not one noisy draw each.
     iters = 6
-    fin = encode_image_grid_async(img, cfg, dists)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        nxt = encode_image_grid_async(img, cfg, dists)
-        datas = fin()
-        fin = nxt
-    t_enc = (time.perf_counter() - t0) / (iters * B)
-    datas = fin()
-    data = datas[-1]
+    reps = int(os.environ.get("JXL_BENCH_REPS", "5"))
+
+    def _enc_trial() -> float:
+        t0 = time.perf_counter()
+        fin = encode_image_grid_async(img, cfg, dists)
+        for _ in range(iters - 1):
+            nxt = encode_image_grid_async(img, cfg, dists)
+            fin()
+            fin = nxt
+        fin()
+        return (time.perf_counter() - t0) / (iters * B)
+
+    enc_trials = sorted(_enc_trial() for _ in range(reps))
+    t_enc = enc_trials[len(enc_trials) // 2]
 
     outs = decode_bytes_grid_stacked(datas)
     ready_wait(outs)
-    # decode cadence, same depth-2 shape: row k+1's host parse + upload
-    # overlaps row k's device compute
-    prev = decode_bytes_grid_stacked(datas)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        nxt = decode_bytes_grid_stacked(datas)
+
+    def _dec_trial() -> float:
+        # same depth-2 shape: row k+1's host parse + upload overlaps row
+        # k's device compute
+        t0 = time.perf_counter()
+        prev = decode_bytes_grid_stacked(datas)
+        for _ in range(iters - 1):
+            nxt = decode_bytes_grid_stacked(datas)
+            ready_wait(prev)
+            prev = nxt
         ready_wait(prev)
-        prev = nxt
-    t_dec = (time.perf_counter() - t0) / (iters * B)
-    ready_wait(prev)
+        return (time.perf_counter() - t0) / (iters * B)
+
+    dec_trials = sorted(_dec_trial() for _ in range(reps))
+    t_dec = dec_trials[len(dec_trials) // 2]
 
     # Single-image pipelined numbers (depth 4) for reference: these pay the
     # full per-image tunnel fetch, the floor for one-off CLI encodes.
@@ -278,6 +297,21 @@ def main():
     dec_dev_ms = (dec_t16 - dec_t8) / 8
     dec_fixed_ms = dec_t8 - 8 * dec_dev_ms
 
+    def _slope_fields(dev_ms, fixed_ms, light_s):
+        """Guard the slope-derived fields against timing jitter (ADVICE
+        r4): t16 <= t8 would yield a junk negative/near-zero slope — report
+        nulls instead of nonsense, and clamp the fixed floor at 0."""
+        if dev_ms <= 0.05 * light_s * 1e3:
+            return None, None, max(fixed_ms, 0.0)
+        return round(dev_ms, 3), round(light_s * 1e3 / dev_ms, 4), max(fixed_ms, 0.0)
+
+    enc_dev_ms, enc_dev_frac, enc_fixed_ms = _slope_fields(
+        enc_dev_ms, enc_fixed_ms, enc_min
+    )
+    dec_dev_ms, dec_dev_frac, dec_fixed_ms = _slope_fields(
+        dec_dev_ms, dec_fixed_ms, dec_min
+    )
+
     # Measured same-host CPU-codec anchor (r02 review: vs_baseline divides
     # by a NOMINAL 2.5 MP/s; this one is actually measured here): PIL/
     # libjpeg encode+decode MP/s on the same image at quality ~ this
@@ -288,14 +322,18 @@ def main():
     from PIL import Image
 
     pim = Image.fromarray(np.asarray(img))
-    t0 = time.perf_counter()
-    jpeg_iters = 5
-    for _ in range(jpeg_iters):
-        buf = io.BytesIO()
-        pim.save(buf, "JPEG", quality=90)
-        buf.seek(0)
-        np.asarray(Image.open(buf))
-    jpeg_mps = mp / ((time.perf_counter() - t0) / jpeg_iters)
+
+    def _jpeg_trial() -> float:
+        t0 = time.perf_counter()
+        for _ in range(5):
+            buf = io.BytesIO()
+            pim.save(buf, "JPEG", quality=90)
+            buf.seek(0)
+            np.asarray(Image.open(buf))
+        return (time.perf_counter() - t0) / 5
+
+    jpeg_trials = sorted(_jpeg_trial() for _ in range(reps))
+    jpeg_mps = mp / jpeg_trials[len(jpeg_trials) // 2]
 
     mps = mp / (t_enc + t_dec)
     print(
@@ -312,6 +350,21 @@ def main():
                 "encode_mps_single": round(mp / t_enc1, 3),
                 "decode_mps_single": round(mp / t_dec1, 3),
                 "grid_batch": B,
+                # measurement honesty: median of `reps` trials; spreads are
+                # min-max MP/s across trials for each stage + the anchor
+                "reps": reps,
+                "encode_mps_spread": [
+                    round(mp / enc_trials[-1], 3),
+                    round(mp / enc_trials[0], 3),
+                ],
+                "decode_mps_spread": [
+                    round(mp / dec_trials[-1], 3),
+                    round(mp / dec_trials[0], 3),
+                ],
+                "jpeg_cpu_mps_spread": [
+                    round(mp / jpeg_trials[-1], 3),
+                    round(mp / jpeg_trials[0], 3),
+                ],
                 "psnr_db": round(psnr, 2),
                 "bpp": round(bpp, 4),
                 "jpeg_cpu_mps_measured": round(jpeg_mps, 3),
@@ -330,11 +383,11 @@ def main():
                     # device-compute fractions: marginal (slope) per-image
                     # device time vs the cost-model lightspeed; the fixed
                     # per-dispatch tunnel floor is reported separately
-                    "encode_device_ms": round(enc_dev_ms, 3),
-                    "encode_device_frac": round(enc_min * 1e3 / enc_dev_ms, 4),
+                    "encode_device_ms": enc_dev_ms,
+                    "encode_device_frac": enc_dev_frac,
                     "encode_dispatch_fixed_ms": round(enc_fixed_ms, 3),
-                    "decode_device_ms": round(dec_dev_ms, 3),
-                    "decode_device_frac": round(dec_min * 1e3 / dec_dev_ms, 4),
+                    "decode_device_ms": dec_dev_ms,
+                    "decode_device_frac": dec_dev_frac,
                     "decode_dispatch_fixed_ms": round(dec_fixed_ms, 3),
                 },
             }

@@ -48,6 +48,11 @@ class CodecConfig:
     strategy: Strategy = Strategy.BASELINE
     lanes: int = 256  # interleaved rANS streams
     epf: bool = True  # decode-side edge-preserving filter (signaled in header)
+    # Allow the per-image VarDCT-vs-modular mode decision on candidate
+    # content (codec/encode._pick_mode). The striped gigapixel encoder
+    # turns it off per stripe: sections of one JXTS container must agree
+    # on the coding family for the plane-space stitch.
+    modular: bool = True
 
     # Effort semantics (single source of truth: codec/encode.tokens_from_rgb
     # gates + strategy/acs.MERGE_LADDER minimum efforts):

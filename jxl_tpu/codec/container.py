@@ -402,6 +402,12 @@ def _read_container_checked(data: bytes) -> JxtStream:
     off += 4
     _check(off + n_acs <= len(data), "extra section overruns buffer")
     acs_extra = data[off : off + n_acs]
+    if modular and n_acs:
+        # lossless extra section == the palette (codec/encode._palette_of)
+        _check(
+            n_acs % 3 == 0 and n_acs // 3 <= 256,
+            "palette section is not <= 256 RGB triples",
+        )
     header = JxtHeader(
         height=height,
         width=width,

@@ -175,7 +175,7 @@ def _nnz_map_from_padded(vals_a, params, lay):
     return q_final, q_sorted
 
 
-def _decode_packed_core(packed, distance, *, height, width, lanes, epf, capw, capm, pallas, lossless=False, return_planes=False):
+def _decode_packed_core(packed, distance, *, height, width, lanes, epf, capw, capm, pallas, lossless=False, palette=False, return_planes=False):
     """Unpack the single uploaded u32 buffer and decode.
 
     Host->device layout (static offsets; capw/capm are power-of-two bucket
@@ -282,10 +282,19 @@ def _decode_packed_core(packed, distance, *, height, width, lanes, epf, capw, ca
     if lossless:
         from jxl_tpu.codec.lossless import reconstruct_lossless
 
+        pal = None
+        if palette:
+            # _pack_stream_np appends the palette as the last 256 u32
+            # (one 0x00RRGGBB word per entry) of the upload buffer
+            pw = packed[-256:]
+            pal = jnp.stack(
+                [(pw >> 16) & 255, (pw >> 8) & 255, pw & 255], axis=-1
+            ).astype(jnp.uint8)
         # distance is traced: d=0 lossless and d>0 modular-lossy streams
         # share this program (modular_steps(0) == 1 -> exact round trip)
         return reconstruct_lossless(
-            values, params, height=height, width=width, distance=distance
+            values, params, height=height, width=width, distance=distance,
+            pal=pal,
         )
     return _reconstruct(
         values, distance, params,
@@ -296,7 +305,7 @@ def _decode_packed_core(packed, distance, *, height, width, lanes, epf, capw, ca
 _decode_packed = partial(
     jax.jit,
     static_argnames=(
-        "height", "width", "lanes", "epf", "capw", "capm", "pallas", "lossless", "return_planes",
+        "height", "width", "lanes", "epf", "capw", "capm", "pallas", "lossless", "palette", "return_planes",
     ),
 )(_decode_packed_core)
 
@@ -569,6 +578,7 @@ def decode_stream_device(stream: JxtStream):
         capm=capm,
         pallas=_use_pallas(),
         lossless=h.lossless,
+        palette=bool(h.lossless and len(stream.acs_extra) >= 3),
     )
 
 
@@ -680,7 +690,16 @@ def _pack_stream_np(stream: JxtStream, capw: int, capm: int) -> np.ndarray:
     k_up = min(64, n_ctx)
     ta = -(-ALPHABET // 2)
     hdr = _upload_hdr_u32(n_ctx)
-    packed = np.zeros(hdr + h.lanes + G * (capw // 2 + capm // 4), dtype=np.uint32)
+    # palette mode (lossless + non-empty extra section): 256 trailing u32
+    # slots, one 0x00RRGGBB word per entry
+    pal_u32 = 256 if (h.lossless and len(stream.acs_extra) >= 3) else 0
+    packed = np.zeros(
+        hdr + h.lanes + G * (capw // 2 + capm // 4) + pal_u32, dtype=np.uint32
+    )
+    if pal_u32:
+        p = np.frombuffer(stream.acs_extra, np.uint8).reshape(-1, 3).astype(np.uint32)
+        base = packed.shape[0] - 256
+        packed[base : base + len(p)] = (p[:, 0] << 16) | (p[:, 1] << 8) | p[:, 2]
     packed[0] = h.decode_params
     cmap = stream.cmap
     tables = stream.tables
@@ -705,7 +724,8 @@ def _pack_stream_np(stream: JxtStream, capw: int, capm: int) -> np.ndarray:
     wsec = packed[hdr + h.lanes : hdr + h.lanes + G * (capw // 2)].reshape(
         G, capw // 2
     )
-    msec = packed[hdr + h.lanes + G * (capw // 2) :].reshape(G, capm // 4)
+    mo = hdr + h.lanes + G * (capw // 2)
+    msec = packed[mo : mo + G * (capm // 4)].reshape(G, capm // 4)
     wb = np.concatenate([[0], np.cumsum(wcounts)])
     mb = np.concatenate([[0], np.cumsum(mcounts)])
     for g in range(G):

@@ -1029,6 +1029,63 @@ def _encode_modular_pref(rgb, distance, *, first: int, **kw):
     return jax.lax.slice(buf, (0,), (min(first, buf.shape[0]),)), buf
 
 
+def _palette_of(rgb: np.ndarray):
+    """Palette detection for the lossless path (VERDICT r4 item 4): if the
+    image has <= 256 distinct RGB triples (glyph/screenshot content),
+    return (palette u8 [N, 3] sorted by luma, index map int32 [H, W]);
+    else None. Host-side numpy — one np.unique over packed 24-bit colors.
+    Luma-sorting makes the index plane spatially smooth wherever the
+    colors are, so the per-channel predictor search still has structure
+    to remove."""
+    a = np.asarray(rgb)
+    if a.ndim != 3 or a.shape[2] != 3:
+        return None
+    flat = (
+        (a[..., 0].astype(np.uint32) << 16)
+        | (a[..., 1].astype(np.uint32) << 8)
+        | a[..., 2].astype(np.uint32)
+    ).reshape(-1)
+    colors, inverse = np.unique(flat, return_inverse=True)
+    if len(colors) > 256:
+        return None
+    r = (colors >> 16) & 255
+    g = (colors >> 8) & 255
+    b = colors & 255
+    luma = 0.299 * r + 0.587 * g + 0.114 * b
+    order = np.argsort(luma, kind="stable")
+    rank = np.empty_like(order)
+    rank[order] = np.arange(len(order))
+    pal = np.stack([r, g, b], axis=1)[order].astype(np.uint8)
+    idx = rank[inverse].reshape(a.shape[:2]).astype(np.int32)
+    return pal, idx
+
+
+def _encode_palette_core(idx, *, height: int, width: int, lanes: int, cap_bytes: int):
+    """Palette-mode encoder: the luma-sorted index plane rides the modular
+    machinery as [idx, 0, 0] (the zero planes collapse into the all-flat
+    activity class); the palette itself travels in the container's extra
+    section. Lossless by construction."""
+    from jxl_tpu.codec.layout import lossless_layout
+    from jxl_tpu.codec.lossless import ll_step_ctx, lossless_tokens
+
+    lay = lossless_layout(height, width, lanes)
+    z = jnp.zeros((height, width), jnp.int32)
+    planes = jnp.stack([idx.astype(jnp.int32), z, z])
+    token, nbits, mant, params, q_sorted = lossless_tokens(
+        None, height=height, width=width, planes=planes
+    )
+    return _entropy_and_pack(
+        token, nbits, mant, ll_step_ctx(lay, q_sorted), lay, lanes, cap_bytes,
+        params=params,
+    )
+
+
+@partial(jax.jit, static_argnames=("height", "width", "lanes", "cap_bytes", "first"))
+def _encode_palette_pref(idx, *, first: int, **kw):
+    buf = _encode_palette_core(idx, **kw)
+    return jax.lax.slice(buf, (0,), (min(first, buf.shape[0]),)), buf
+
+
 @partial(jax.jit, static_argnames=("height", "width", "lanes", "cap_bytes", "first"))
 def _encode_modular_grid(rgb, distances, *, first: int, **kw):
     """Modular twin of _encode_grid: one dispatch covers a whole RD-sweep
@@ -1106,6 +1163,11 @@ def encode_images_batched_async(
     b, h, w = batch.shape[0], int(batch.shape[1]), int(batch.shape[2])
     if distances is None:
         distances = [config.distance] * b
+    if any(float(d) <= 0.0 for d in distances):
+        raise ValueError(
+            "encode_images_batched_async is the LOSSY batch path; route "
+            "d=0 images through encode_image/encode_images (modular mode)"
+        )
     dists = [max(float(d), 0.05) for d in distances]
     if orig_names is None:
         orig_names = [""] * b
@@ -1206,8 +1268,9 @@ def _pref_rows(bufs, want: int):
 
 
 def _window_from_history(lanes: int, h: int, w: int, dists):
-    """Fetch-window size (u32, pow2-bucketed to bound compile count) from
-    history, or None until every distance bucket has been observed."""
+    """Fetch-window size (u32, bucketed in fixed 8192-u32 / 32 KB steps
+    to bound compile count) from history, or None until every distance
+    bucket has been observed."""
     needs = [_NEED_HISTORY.get((h, w, lanes, _dist_key(d))) for d in dists]
     if any(n is None for n in needs):
         return None
@@ -1285,7 +1348,7 @@ def encode_image(rgb: np.ndarray, config: CodecConfig, orig_name: str = "") -> b
 
 def _assemble_container(
     h, w, config, orig_name, lanes, lay, freq_np, states_np, words_b, mant_b,
-    wcounts, mcounts, params=2, modular=None,
+    wcounts, mcounts, params=2, modular=None, acs_extra=b"",
 ) -> bytes:
     if modular is None:
         modular = config.distance <= 0.0
@@ -1330,6 +1393,7 @@ def _assemble_container(
         mant_bytes=mant_b,
         wcounts=np.asarray(wcounts, dtype=np.uint32),
         mcounts=np.asarray(mcounts, dtype=np.uint32),
+        acs_extra=acs_extra,
     )
     return write_container(stream)
 
@@ -1353,7 +1417,7 @@ def encode_image_grid_async(
     d_arr = jnp.asarray([max(float(d), 0.05) for d in distances], jnp.float32)
     mod_fin = (
         _modular_grid_async(rgb, config, distances, orig_name)
-        if _modular_candidate(rgb)
+        if (config.modular and _modular_candidate(rgb))
         else None
     )
 
@@ -1510,6 +1574,39 @@ def _modular_candidate(rgb: np.ndarray) -> bool:
     return flat >= 0.12
 
 
+def _palette_async(idx, pal, config: CodecConfig, orig_name: str = ""):
+    """Dispatch a palette-mode lossless encode (see _encode_palette_core);
+    returns finalize() -> container bytes. Palette mode is signaled by the
+    container's extra section being a non-empty N*3-byte palette on a
+    lossless (flag bit 1, d=0) stream — self-describing, no format
+    change."""
+    h, w = int(idx.shape[0]), int(idx.shape[1])
+    from jxl_tpu.codec.layout import lossless_layout
+
+    lanes = pick_lanes(3 * h * w, config.lanes)
+    lay = lossless_layout(h, w, lanes)
+    cap = byte_capacity(lay["n_padded"])
+    pref, buf = _encode_palette_pref(
+        jnp.asarray(idx),
+        first=_first_get_u32(lanes, h * w, lossless=True),
+        height=h,
+        width=w,
+        lanes=lanes,
+        cap_bytes=cap,
+    )
+    pref.copy_to_host_async()
+
+    def finalize() -> bytes:
+        got = np.asarray(pref)
+        pieces = _parse_packed(got, buf, lanes, n_ctx=lay["n_ctx"])
+        return _assemble_container(
+            h, w, config, orig_name, lanes, lay, *pieces,
+            modular=True, acs_extra=pal.tobytes(),
+        )
+
+    return finalize
+
+
 def _modular_async(rgb, config: CodecConfig, orig_name: str = ""):
     """Dispatch a modular-mode encode (d=0 lossless or d>0 modular-lossy,
     codec/lossless.py); returns finalize() -> container bytes."""
@@ -1598,7 +1695,21 @@ def encode_image_async(rgb: np.ndarray, config: CodecConfig, orig_name: str = ""
         config = replace(config, distance=0.05)
     if lossless:
         config = replace(config, distance=0.0, epf=False)
-        return _modular_async(rgb, config, orig_name)
+        plain_fin = _modular_async(rgb, config, orig_name)
+        pal_res = _palette_of(rgb) if config.modular else None
+        if pal_res is None:
+            return plain_fin
+        # <= 256 distinct colors: also code the luma-sorted index plane
+        # through the palette path and keep the smaller container (both
+        # are exact, so the decision is pure measured bytes)
+        pal, idx = pal_res
+        pal_fin = _palette_async(idx, pal, config, orig_name)
+
+        def finalize_ll() -> bytes:
+            plain_b, pal_b = plain_fin(), pal_fin()
+            return pal_b if len(pal_b) < len(plain_b) else plain_b
+
+        return finalize_ll
     else:
         lanes = pick_lanes(token_layout(h, w)["n_tokens"], config.lanes)
         lay = padded_layout(h, w, lanes)
@@ -1606,7 +1717,7 @@ def encode_image_async(rgb: np.ndarray, config: CodecConfig, orig_name: str = ""
         pallas_enc = _use_pallas_enc(lanes, lay["T"])
         mod_fin = (
             _modular_async(rgb, config, orig_name)
-            if _modular_candidate(rgb)
+            if (config.modular and _modular_candidate(rgb))
             else None
         )
 

@@ -132,12 +132,17 @@ def ll_step_ctx(lay, q_sorted):
     return jnp.concatenate([static_a, base + qs.astype(jnp.int32) * 3])
 
 
-def lossless_tokens(rgb, *, height: int, width: int, distance=None):
+def lossless_tokens(rgb, *, height: int, width: int, distance=None, planes=None):
     """Pixels -> (tokens, nbits, mantissa, params, q_sorted).
 
     distance=None (or a traced 0.0) is the exact lossless mode; a traced
     d>0 quantizes the YCoCg-R planes by modular_steps(d) FIRST and runs
     the identical machinery on the quantized planes (modular-lossy).
+
+    planes (int32 [3, H, W], optional) bypasses the YCoCg transform and
+    codes the given planes directly — the palette mode feeds
+    [index, 0, 0] here (codec/encode._encode_palette_core): the two zero
+    planes collapse into the all-flat activity class and cost ~nothing.
 
     params (traced uint32): per-channel predictor mode, 2 bits each
     (bits 2c..2c+1 for channel c): 0 = none, 1 = west, 2 = gradient,
@@ -155,7 +160,8 @@ def lossless_tokens(rgb, *, height: int, width: int, distance=None):
     """
     from jxl_tpu.codec.layout import LL_EDGES, lossless_layout
 
-    planes = ycocg_forward(rgb)
+    if planes is None:
+        planes = ycocg_forward(rgb)
     if distance is not None:
         steps = modular_steps(distance)[:, None, None]
         planes = jnp.round(
@@ -203,12 +209,17 @@ def lossless_tokens(rgb, *, height: int, width: int, distance=None):
     return token, nbits, mant, params, q_sorted
 
 
-def reconstruct_lossless(values, params, *, height: int, width: int, distance=None):
+def reconstruct_lossless(
+    values, params, *, height: int, width: int, distance=None, pal=None
+):
     """Decoded value stream -> RGB u8 pixels. params: per-channel
     predictor modes (see lossless_tokens). distance (traced, or None)
     selects dequantization: the prefix-sum reconstruction yields the
     QUANTIZED planes, which are scaled back by modular_steps(distance)
-    before the YCoCg inverse (identity at d=0 — exact round trip)."""
+    before the YCoCg inverse (identity at d=0 — exact round trip).
+
+    pal (u8 [256, 3], palette mode): plane 0 carries palette indices
+    instead of YCoCg luma — the pixels are one row gather pal[idx]."""
     from jxl_tpu.codec.encode import bucket_perm
     from jxl_tpu.codec.layout import LL_Q, lossless_layout
 
@@ -233,6 +244,9 @@ def reconstruct_lossless(values, params, *, height: int, width: int, distance=No
         res,
         jnp.where(m == 1, rec_w, jnp.where(m == 2, rec_g, rec_n)),
     )[:, :height, :width]
+    if pal is not None:
+        idx = jnp.clip(planes[0], 0, 255)
+        return pal[idx]
     if distance is not None:
         planes = planes * modular_steps(distance)[:, None, None]
         # quantization can push reconstructed RGB out of [0, 255]; the

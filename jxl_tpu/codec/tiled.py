@@ -129,22 +129,46 @@ def encode_image_striped(
     edges = np.concatenate([[0], np.cumsum(widths)])
     stripes = [rgb[:, edges[i] : edges[i + 1]] for i in range(n_stripes)]
     names = [orig_name if i == 0 else "" for i in range(n_stripes)]
+    if n_stripes > 1:
+        # per-stripe mode decisions could disagree; JXTS sections must
+        # share one coding family for the plane-space stitch
+        from dataclasses import replace as _replace
+
+        config = _replace(config, modular=False)
     if len(set(widths)) == 1 and config.distance > 0 and n_stripes > 1:
         # Equal-width lossy stripes encode as batched device dispatches
         # (the per-stripe pipeline floors at the tunnel's per-dispatch
-        # turnaround). Two chunks, both dispatched before either
-        # finalizes: the raw-pixel H2D upload of chunk 2 — the dominant
-        # cost at multi-MP sizes — overlaps chunk 1's compute.
+        # turnaround), chunked with a DEPTH-2 pipeline: chunk k+1's
+        # raw-pixel H2D upload — the dominant cost at multi-MP sizes —
+        # overlaps chunk k's compute, while at most two chunks are ever
+        # device-resident. The chunk size is capped by a pixel budget so
+        # gigapixel images never batch unbounded stripes into one
+        # dispatch (ADVICE r4: the old ceil(n/2) split kept half the
+        # image resident), and prefers a divisor of n_stripes so ONE
+        # compiled batch program covers every chunk.
         from jxl_tpu.codec.encode import encode_images_batched_async
 
-        half = (n_stripes + 1) // 2 if n_stripes >= 4 else n_stripes
-        fins = [
-            encode_images_batched_async(
-                stripes[s : s + half], config, orig_names=names[s : s + half]
+        budget_px = 32e6  # ~2 chunks x 32 MP resident worst-case
+        c_max = max(1, min(n_stripes, int(budget_px // (h * widths[0]))))
+        chunk = 1
+        for c in range(c_max, 1, -1):
+            if n_stripes % c == 0:
+                chunk = c
+                break
+        sections = []
+        pending = []
+        for s in range(0, n_stripes, chunk):
+            pending.append(
+                encode_images_batched_async(
+                    stripes[s : s + chunk],
+                    config,
+                    orig_names=names[s : s + chunk],
+                )
             )
-            for s in range(0, n_stripes, half)
-        ]
-        sections = [sec for f in fins for sec in f()]
+            if len(pending) >= 2:
+                sections.extend(pending.pop(0)())
+        for f in pending:
+            sections.extend(f())
     else:
         sections = encode_images(
             [(s, config, nm) for s, nm in zip(stripes, names)]
