@@ -36,15 +36,34 @@ def _add_codec_args(p):
         "--lanes",
         type=int,
         default=256,
-        help="interleaved rANS streams (128-multiple). 1024 fills the "
-        "decode kernel's state tile for SINGLE-stream consumers (kernel "
-        "runs 4x fewer steps; measured +17%% wall here because the "
-        "tunnel dominates, more on direct-attached TPUs) at +4 B/lane "
-        "of container; the default favors ratio (docs/roofline_r04.md)",
+        help="interleaved rANS streams (128-multiple). The default 256 "
+        "AUTO-GROWS to 512/1024 for >= 2/4 MP images (2-4x fewer decode "
+        "kernel steps, +<=0.5%% container); any other value pins the "
+        "count (docs/roofline_r04.md)",
     )
 
 
 def cmd_encode(args) -> int:
+    # auto-forward to a running persistent server (python -m jxl_tpu serve):
+    # a fresh process pays the full backend/tunnel startup per invocation
+    from jxl_tpu.cli.server import try_forward
+
+    rep = try_forward(
+        dict(
+            cmd="encode",
+            input=os.path.abspath(args.input),
+            output=os.path.abspath(args.output),
+            distance=args.distance,
+            effort=args.effort,
+            strategy=args.strategy,
+            lanes=getattr(args, "lanes", 256),
+            stripes=getattr(args, "stripes", 0),
+        )
+    )
+    if rep is not None:
+        print(rep.get("msg") or rep.get("error"))
+        return 0 if rep.get("ok") else 1
+
     from jxl_tpu.codec.config import CodecConfig, Strategy
     from jxl_tpu.codec.encode import encode_file
     from jxl_tpu.core.io import read_image
@@ -58,8 +77,6 @@ def cmd_encode(args) -> int:
     rgb = read_image(args.input)
     t0 = time.perf_counter()
     if getattr(args, "stripes", 0):
-        import os
-
         from jxl_tpu.codec.tiled import encode_image_striped
 
         data = encode_image_striped(
@@ -78,6 +95,19 @@ def cmd_encode(args) -> int:
 
 
 def cmd_decode(args) -> int:
+    from jxl_tpu.cli.server import try_forward
+
+    rep = try_forward(
+        dict(
+            cmd="decode",
+            input=os.path.abspath(args.input),
+            output=os.path.abspath(args.output),
+        )
+    )
+    if rep is not None:
+        print(rep.get("msg") or rep.get("error"))
+        return 0 if rep.get("ok") else 1
+
     from jxl_tpu.codec.decode import decode_file
     from jxl_tpu.core.io import write_image
 
@@ -88,6 +118,12 @@ def cmd_decode(args) -> int:
     mp = rgb.shape[0] * rgb.shape[1] / 1e6
     print(f"{args.output}: {rgb.shape[1]}x{rgb.shape[0]}, {mp / dt:.2f} MP/s")
     return 0
+
+
+def cmd_serve(args) -> int:
+    from jxl_tpu.cli.server import DEFAULT_SOCKET, serve
+
+    return serve(args.socket or DEFAULT_SOCKET)
 
 
 def cmd_bench(args) -> int:
@@ -202,6 +238,15 @@ def main(argv=None) -> int:
     pd.add_argument("input")
     pd.add_argument("output")
     pd.set_defaults(fn=cmd_decode)
+
+    ps = sub.add_parser(
+        "serve",
+        help="persistent codec server: later encode/decode invocations "
+        "auto-forward over a unix socket instead of paying backend "
+        "startup per process (JXL_TPU_NO_SERVER=1 opts a client out)",
+    )
+    ps.add_argument("--socket", default=None, help="unix socket path")
+    ps.set_defaults(fn=cmd_serve)
 
     pb = sub.add_parser("bench", help="run the RD sweep benchmark")
     pb.add_argument("--benchmark-dir", default="./benchmarks")

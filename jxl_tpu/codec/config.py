@@ -25,12 +25,30 @@ class Strategy(enum.Enum):
     HOMOGENEITY_PARTITIONING = 1
     HOMOGENEITY_FACTORED_ENTROPY = 2
     COMBINED = 3
+    # Round-5 thesis follow-up (VERDICT r4 item 9): the 600-point A/B
+    # found Hook A pays only where the dense search's candidates are
+    # near-TIED in proxy rate (the case the proxy can't rank). This
+    # variant applies the homogeneity override ONLY on near-ties
+    # (strategy/acs.py, JXL_TPU_HOOKA_EPS) — a modernized form of the
+    # thesis heuristic as a tie-breaker instead of an unconditional
+    # override.
+    HOMOGENEITY_RD_GATED = 4
 
     @property
-    def hook_a(self) -> bool:
-        """Override plain-DCT winners via HomogeneityPartition
-        (homogeneity-partitioning.diff:272-277)."""
-        return self in (Strategy.HOMOGENEITY_PARTITIONING, Strategy.COMBINED)
+    def hook_a(self) -> int:
+        """Hook A level: 0 off, 1 unconditional override of plain-DCT
+        winners via HomogeneityPartition
+        (homogeneity-partitioning.diff:272-277), 2 near-tie-gated
+        (HOMOGENEITY_RD_GATED). Truthy exactly when the hook runs, so
+        existing boolean call sites keep working; passed as a jit static
+        through the encoder."""
+        if self is Strategy.HOMOGENEITY_RD_GATED:
+            return 2
+        return (
+            1
+            if self in (Strategy.HOMOGENEITY_PARTITIONING, Strategy.COMBINED)
+            else 0
+        )
 
     @property
     def hook_b(self) -> bool:

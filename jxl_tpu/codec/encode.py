@@ -1328,7 +1328,21 @@ def _parse_packed(got: np.ndarray, buf, lanes: int, n_ctx: int = N_CTX):
 def pick_lanes(n_tokens: int, max_lanes: int) -> int:
     """Adapt rANS lane count to the stream size: each lane costs 4 header
     bytes (final state), so small images use fewer, longer streams. Floor
-    is one 128-lane group (the grouped coder's unit)."""
+    is one 128-lane group (the grouped coder's unit).
+
+    AUTO-GROW (VERDICT r4 item 7): when the caller left the default
+    256-lane ratio-first setting, multi-megapixel streams upgrade to
+    512/1024 lanes — the decode kernel's step count drops 2-4x (lanes=256
+    fills only 2 of its 8 state-tile rows), and the +1-3 KB of per-lane
+    header states is <= ~0.5% of such containers. The thresholds are in
+    TOKENS (~3.02 per pixel): >= 6M (~2 MP) -> 512, >= 12M (~4 MP) ->
+    1024. An explicit non-default `--lanes` pins the count (the sweep's
+    0.4 MP corpus stays at 256 — ratio regression exactly 0)."""
+    if max_lanes == 256:
+        if n_tokens >= 12_000_000:
+            max_lanes = 1024
+        elif n_tokens >= 6_000_000:
+            max_lanes = 512
     lanes = max(max_lanes, GROUP)
     while lanes > GROUP and n_tokens // lanes < 512:
         lanes //= 2

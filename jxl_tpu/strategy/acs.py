@@ -358,7 +358,23 @@ def search_acs(
 
     if hook_a:
         part = homogeneity_partition(r_h, r_v, r_d, distance)
-        best8 = jnp.where(best8 == ACS_DCT, part, best8)
+        override = best8 == ACS_DCT
+        if hook_a == 2:
+            # RD-GATED variant (VERDICT r4 item 9): only override where
+            # the partition's candidate is within epsilon of the dense
+            # argmin's winner in measured proxy rate — the near-tie the
+            # proxy can't rank, which is exactly where the round-4
+            # 600-point A/B found the thesis heuristic pays (text:
+            # +0.123 dB). Unconditional override (hook_a == 1) loses
+            # everywhere else because the argmin already measured the
+            # partition's rate and rejected it.
+            import os
+
+            eps = float(os.environ.get("JXL_TPU_HOOKA_EPS", "0.02"))
+            stackc = jnp.stack([costs[s] for s in range(4)])
+            cost_part = jnp.take_along_axis(stackc, part[None], axis=0)[0]
+            override = override & (cost_part <= cost_sel * (1.0 + eps))
+        best8 = jnp.where(override, part, best8)
 
     acs = best8
 
