@@ -12,7 +12,16 @@ import os
 # which does win over the plugin. Same for the virtual device count
 # (jax_num_cpu_devices replaces the old XLA_FLAGS mechanism in jax 0.9).
 os.environ["JAX_PLATFORMS"] = "cpu"  # belt...
-os.environ["JXL_TPU_NO_CACHE"] = "1"  # per-platform compile caches don't mix
+# Persistent compile cache in a DEDICATED cpu-tests dir (the old
+# NO_CACHE=1 existed because the default dir mixed TPU-CLI artifacts
+# with CPU test artifacts and warned loudly; a partitioned dir is clean).
+# The suite is XLA-compile-bound, so a warm cache cuts a full invocation
+# from ~10 minutes to ~2-3; xdist workers share it safely (file-per-
+# program). JXL_TPU_NO_CACHE=1 still opts out.
+os.environ.setdefault(
+    "JXL_TPU_CACHE_DIR",
+    os.path.join(os.path.expanduser("~"), ".cache", "jxl_tpu_jax", "cpu-tests"),
+)
 
 import jax  # noqa: E402
 

@@ -142,7 +142,14 @@ def test_search_textured_mixes_strategies():
     assert int(acs.min()) >= 0 and int(acs.max()) <= N_STRATEGIES - 1
 
 
-@pytest.mark.parametrize("n,sid,effort", [(64, 6, 7), (128, 7, 8), (256, 8, 9)])
+@pytest.mark.parametrize(
+    "n,sid,effort",
+    [
+        (64, 6, 7),
+        pytest.param(128, 7, 8, marks=pytest.mark.slow),
+        pytest.param(256, 8, 9, marks=pytest.mark.slow),
+    ],
+)
 def test_large_merge_roundtrip(n, sid, effort):
     """Content that is free at every scale (flat) must ladder all the way
     up to the largest transform the effort allows, and a same-size gradient
@@ -198,6 +205,7 @@ def test_effort_gates_block_sizes():
     assert sizes[5] <= sizes[3] + 128
 
 
+@pytest.mark.slow
 def test_two_pass_rate_model_improves_e8():
     """Effort >= 8 re-runs the AC-strategy search with measured per-symbol
     bit costs (two-pass); on textured content this must produce a

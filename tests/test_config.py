@@ -1,18 +1,24 @@
 """Strategy activation-matrix parity (SURVEY §2.4) + config invariants."""
 
+import pytest
+
 from jxl_tpu.codec.config import CodecConfig, Strategy
 
 
 def test_strategy_activation_matrix():
-    # | variant | hook A | hook B |  (SURVEY §2.4)
-    assert Strategy.BASELINE.hook_a is False
+    # | variant | hook A | hook B |  (SURVEY §2.4). hook_a is a 3-level
+    # int since round 5 (0 off / 1 unconditional / 2 RD-gated); truthiness
+    # preserves the original matrix.
+    assert not Strategy.BASELINE.hook_a
     assert Strategy.BASELINE.hook_b is False
-    assert Strategy.HOMOGENEITY_PARTITIONING.hook_a is True
+    assert Strategy.HOMOGENEITY_PARTITIONING.hook_a == 1
     assert Strategy.HOMOGENEITY_PARTITIONING.hook_b is False
-    assert Strategy.HOMOGENEITY_FACTORED_ENTROPY.hook_a is False
+    assert not Strategy.HOMOGENEITY_FACTORED_ENTROPY.hook_a
     assert Strategy.HOMOGENEITY_FACTORED_ENTROPY.hook_b is True
-    assert Strategy.COMBINED.hook_a is True
+    assert Strategy.COMBINED.hook_a == 1
     assert Strategy.COMBINED.hook_b is True
+    assert Strategy.HOMOGENEITY_RD_GATED.hook_a == 2
+    assert Strategy.HOMOGENEITY_RD_GATED.hook_b is False
 
 
 def test_effort_gates():
@@ -26,6 +32,7 @@ def test_effort_gates():
     assert min_effort[128] == 8 and min_effort[256] == 9
 
 
+@pytest.mark.slow
 def test_effort_ladder_distinct_bitstreams():
     """Every legacy-grid effort row is a distinct operating point
     (VERDICT r2 item 6): e1/e3/e5/e7 produce different bitstreams."""

@@ -20,6 +20,7 @@ def test_mesh_shapes():
     assert m2.axis_names == ("data", "space")
 
 
+@pytest.mark.slow  # the round driver runs dryrun_multichip(8) itself every round
 def test_dryrun_multichip_8():
     import __graft_entry__ as ge
 
