@@ -84,26 +84,41 @@ def write_striped(height: int, width: int, sections: list[bytes]) -> bytes:
 
 
 def read_striped(data: bytes):
-    """-> (height, width, [section bytes])."""
-    assert data[:4] == STRIPED_MAGIC, "not a striped JXT stream"
-    magic, version, _flags, n, height, width = struct.unpack_from("<4sBBHII", data, 0)
-    assert version == STRIPED_VERSION, f"unknown striped version {version}"
-    off = struct.calcsize("<4sBBHII")
-    lens = struct.unpack_from(f"<{n}I", data, off)
+    """-> (height, width, [section bytes]). Raises ValueError on any
+    malformed wrapper (same hardening contract as container.read_container
+    — VERDICT r4 item 5): every declared length is validated against the
+    remaining buffer before any section parse or allocation."""
+    from jxl_tpu.codec.container import MAX_DIM, _check
+
+    _check(data[:4] == STRIPED_MAGIC, "bad magic (not a striped JXT stream)")
+    try:
+        magic, version, _flags, n, height, width = struct.unpack_from(
+            "<4sBBHII", data, 0
+        )
+        _check(
+            version == STRIPED_VERSION, f"unknown striped version {version}"
+        )
+        _check(
+            0 < height <= MAX_DIM and 0 < width <= MAX_DIM and n >= 1,
+            "bad striped geometry",
+        )
+        off = struct.calcsize("<4sBBHII")
+        _check(off + 4 * n <= len(data), "section table overruns buffer")
+        lens = struct.unpack_from(f"<{n}I", data, off)
+    except struct.error as e:
+        raise ValueError(f"malformed striped container: truncated ({e})") from e
     off += 4 * n
     sections = []
     for L in lens:
         # validate declared lengths so truncated/corrupt input fails at the
         # wrapper parse, not as a confusing container error sections later
-        assert off + L <= len(data), (
-            f"striped container truncated: section needs bytes "
-            f"[{off}, {off + L}) of {len(data)}"
+        _check(
+            off + L <= len(data),
+            f"striped section needs bytes [{off}, {off + L}) of {len(data)}",
         )
         sections.append(data[off : off + L])
         off += L
-    assert off == len(data), (
-        f"striped container has {len(data) - off} trailing bytes"
-    )
+    _check(off == len(data), f"{len(data) - off} trailing bytes")
     return height, width, sections
 
 

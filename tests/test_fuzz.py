@@ -164,3 +164,25 @@ def test_forged_stream_counts(small_container):
     # forged counts disagree with the section length marker
     with pytest.raises(ValueError):
         read_container(forged)
+
+
+def test_striped_wrapper_truncations():
+    """JXTS wrapper parsing rejects malformed input cleanly too."""
+    from jxl_tpu.codec.tiled import read_striped, write_striped
+
+    wrapped = write_striped(16, 32, [b"sec0" * 10, b"sec1" * 20])
+    r = np.random.default_rng(14)
+    for cut in sorted(set(int(x) for x in r.integers(0, len(wrapped), 30))):
+        with pytest.raises(ValueError):
+            read_striped(wrapped[:cut])
+    # forged section count / huge dims
+    import struct as _s
+
+    huge = bytearray(wrapped)
+    _s.pack_into("<H", huge, 6, 0xFFFF)
+    with pytest.raises(ValueError):
+        read_striped(bytes(huge))
+    bad_dims = bytearray(wrapped)
+    _s.pack_into("<I", bad_dims, 8, 1 << 24)
+    with pytest.raises(ValueError):
+        read_striped(bytes(bad_dims))

@@ -51,7 +51,7 @@ def test_wrapper_roundtrip_and_errors():
     h, w, out = read_striped(data)
     assert (h, w) == (64, 96)
     assert out == secs
-    with pytest.raises(AssertionError):
+    with pytest.raises(ValueError):
         read_striped(b"JXT1" + data[4:])
 
 
