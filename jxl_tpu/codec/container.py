@@ -315,6 +315,12 @@ def _read_container_checked(data: bytes) -> JxtStream:
             "not signaled in the stream"
         )
     _check(0 < height <= MAX_DIM and 0 < width <= MAX_DIM, "bad image dims")
+    import math
+
+    _check(
+        math.isfinite(distance) and 0.0 <= distance <= 1e4,
+        "distance out of range",
+    )
     _check(height * width <= MAX_PIXELS, "image exceeds single-section cap")
     off += struct.calcsize("<BIIfBBBH")
     _check(off + name_len <= len(data), "name overruns buffer")
