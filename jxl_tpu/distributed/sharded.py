@@ -120,6 +120,13 @@ def encode_batch_sharded(
     The batch is padded up to a multiple of the mesh "data" size with
     repeats (dropped from the result); width must divide evenly over the
     "space" axis — callers pick the mesh to match their geometry.
+    
+
+    Note: the SPMD batch path always codes VarDCT — the round-5
+    per-image VarDCT-vs-modular decision (codec/encode._pick_mode)
+    is a host-side choice between two complete encodes and is not
+    part of this single fused program; candidate content routed
+    through here codes VarDCT (same contract as the striped path).
     """
     from jxl_tpu.codec.encode import _assemble_container, _parse_packed
     from jxl_tpu.utils.jax_setup import ready_get
