@@ -275,11 +275,12 @@ def write_container(s: JxtStream) -> bytes:
 # Decoder hardening bounds (VERDICT r4 item 5): every count/length field a
 # malformed container could forge is checked against these and against the
 # remaining buffer BEFORE any allocation or device work. A single JXT
-# section is at most ~268 MP (gigapixel inputs ride the striped JXTS
-# format, whose stripes are far smaller); lanes are bounded by the Pallas
-# kernel geometry.
+# section is capped at 64 MP = 8192x8192 (the layout tables alone cost
+# ~12 B/pixel of host memory to build, and gigapixel inputs ride the
+# striped JXTS format whose stripes are ~8 MP); lanes are bounded by the
+# Pallas kernel geometry.
 MAX_DIM = 1 << 20
-MAX_PIXELS = 1 << 28
+MAX_PIXELS = 1 << 26
 MAX_LANES = 8192
 
 

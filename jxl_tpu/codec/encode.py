@@ -1356,7 +1356,20 @@ def encode_image(rgb: np.ndarray, config: CodecConfig, orig_name: str = "") -> b
     round trip, codec/lossless.py) — matching cjxl semantics for the legacy
     grid's d=0.0 point (`old_test_jxl.py:16-27`). Lossy distances are
     floored at 0.05 to keep quantized values within token range.
+
+    Images above the single-section cap (container.MAX_PIXELS, 64 MP)
+    must ride the striped JXTS format (codec.tiled.encode_image_striped;
+    encode_file routes there automatically) — the hardened decoder
+    rejects larger monolithic sections.
     """
+    from jxl_tpu.codec.container import MAX_PIXELS
+
+    if int(rgb.shape[0]) * int(rgb.shape[1]) > MAX_PIXELS:
+        raise ValueError(
+            f"{rgb.shape[0]}x{rgb.shape[1]} exceeds the {MAX_PIXELS}-pixel "
+            "single-section cap: use codec.tiled.encode_image_striped "
+            "(the JXTS gigapixel format)"
+        )
     return encode_image_async(rgb, config, orig_name)()
 
 
@@ -1830,7 +1843,17 @@ def encode_file(in_path: str, out_path: str, config: CodecConfig) -> int:
     from jxl_tpu.core.io import read_image
 
     rgb = read_image(in_path)
-    data = encode_image(rgb, config, orig_name=os.path.basename(in_path))
+    from jxl_tpu.codec.container import MAX_PIXELS
+
+    if int(rgb.shape[0]) * int(rgb.shape[1]) > MAX_PIXELS:
+        # above the single-section cap: route to the striped format
+        from jxl_tpu.codec.tiled import encode_image_striped
+
+        data = encode_image_striped(
+            rgb, config, orig_name=os.path.basename(in_path)
+        )
+    else:
+        data = encode_image(rgb, config, orig_name=os.path.basename(in_path))
     with open(out_path, "wb") as f:
         f.write(data)
     return len(data)
