@@ -1596,10 +1596,10 @@ def _modular_candidate(rgb: np.ndarray) -> bool:
     if a.ndim != 3 or a.shape[0] < 2 or a.shape[1] < 2:
         return False
     if a.shape[0] * a.shape[1] > (1 << 24):
-        # >16.7 MP: gigapixel inputs ride the striped path (which pins
-        # modular off for stitch consistency); skip the screen's ~2 bytes
-        # /pixel of host temporaries there
-        return False
+        # >16.7 MP: bound the screen's ~2 B/pixel of host temporaries by
+        # subsampling — exact equality at stride 4 still separates flat
+        # UI/glyph runs (typically >= 8 px) from photographic content
+        a = a[::4, ::4]
     eqw = (a[:, 1:] == a[:, :-1]).all(axis=2)
     eqn = (a[1:, :] == a[:-1, :]).all(axis=2)
     flat = float(np.mean(eqw[1:, :] & eqn[:, 1:]))

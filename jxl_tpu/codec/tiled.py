@@ -144,13 +144,31 @@ def encode_image_striped(
     edges = np.concatenate([[0], np.cumsum(widths)])
     stripes = [rgb[:, edges[i] : edges[i + 1]] for i in range(n_stripes)]
     names = [orig_name if i == 0 else "" for i in range(n_stripes)]
-    if n_stripes > 1:
-        # per-stripe mode decisions could disagree; JXTS sections must
-        # share one coding family for the plane-space stitch
+    # Per-STRIPE coding-mode decisions (round 5): mixed-content images
+    # (screenshot + photo inset) lose ~20% bytes to a whole-image
+    # decision; vertical stripes are the per-region granularity, and the
+    # decoder stitches mixed vardct/modular sections (vardct runs get
+    # their seam-exact EPF per contiguous run). Non-candidate content
+    # keeps the batched single-program fast path and byte-identical
+    # output.
+    from jxl_tpu.codec.encode import _modular_candidate
+
+    per_stripe_modes = (
+        config.modular
+        and config.distance > 0
+        and n_stripes > 1
+        and _modular_candidate(rgb)
+    )
+    if n_stripes > 1 and not per_stripe_modes:
         from dataclasses import replace as _replace
 
         config = _replace(config, modular=False)
-    if len(set(widths)) == 1 and config.distance > 0 and n_stripes > 1:
+    if (
+        len(set(widths)) == 1
+        and config.distance > 0
+        and n_stripes > 1
+        and not per_stripe_modes
+    ):
         # Equal-width lossy stripes encode as batched device dispatches
         # (the per-stripe pipeline floors at the tunnel's per-dispatch
         # turnaround), chunked with a DEPTH-2 pipeline: chunk k+1's
@@ -244,44 +262,60 @@ def _stitch_finish(planes, eff_mul, distance, *, height, width, epf):
 
 
 def decode_striped_device(data: bytes):
-    """Striped container -> RGB u8 [H, W, 3] device array."""
-    height, width, sections = read_striped(data)
-    h0 = read_container_header(sections[0])
-    if h0.lossless:
-        from jxl_tpu.codec.decode import decode_bytes_device
+    """Striped container -> RGB u8 [H, W, 3] device array.
 
+    Sections may MIX coding families (round 5: per-stripe VarDCT-vs-
+    modular decisions on candidate content). Modular sections decode to
+    RGB directly; each maximal run of consecutive VarDCT sections is
+    stitched in plane space and gets its own seam-exact EPF pass (EPF is
+    a local filter — at a vardct/modular boundary the content families
+    differ, so edge replication there is the natural behavior)."""
+    height, width, sections = read_striped(data)
+    headers = [read_container_header(s) for s in sections]
+    from jxl_tpu.codec.decode import decode_bytes_device, decode_stream_planes
+
+    if all(h.lossless for h in headers):
         parts = [decode_bytes_device(s) for s in sections]
         return jnp.concatenate(parts, axis=1)
 
-    from jxl_tpu.codec.decode import decode_stream_planes
+    d0 = headers[0].distance
+    for hs in headers:
+        # a heterogeneous distance (hand-built container) would silently
+        # filter/dequantize with the wrong strength
+        assert hs.distance == d0, "striped sections disagree on distance"
 
-    planes_parts = []
-    mul_parts = []
-    epf_votes = 0
-    for s in sections:
-        hs = read_container_header(s)
-        # the stitch takes distance/lossless from section 0: a
-        # heterogeneous container (hand-built or future encoder change)
-        # would silently filter with the wrong EPF strength. Each stripe
-        # carries its OWN adaptive-EPF decision (v8, encode.tokens_from_
-        # rgb); the single full-image filter follows the stripe majority.
-        assert (
-            hs.distance == h0.distance and not hs.lossless
-        ), "striped sections disagree on distance/lossless"
-        epf_votes += 1 if hs.epf else 0
-        planes, eff_mul = decode_stream_planes(read_container(s))
-        planes_parts.append(planes)
-        mul_parts.append(eff_mul)
-    planes = jnp.concatenate(planes_parts, axis=-1)
-    eff_mul = jnp.concatenate(mul_parts, axis=-1)
-    return _stitch_finish(
-        planes,
-        eff_mul,
-        jnp.float32(h0.distance),
-        height=height,
-        width=width,
-        epf=epf_votes * 2 > len(sections),
-    )
+    rgb_parts = []  # per maximal run: RGB u8 [H, run_w, 3]
+    i = 0
+    while i < len(sections):
+        if headers[i].lossless:
+            rgb_parts.append(decode_bytes_device(sections[i]))
+            i += 1
+            continue
+        # maximal VarDCT run [i, j): stitch planes, one EPF over the run
+        j = i
+        planes_parts, mul_parts, epf_votes = [], [], 0
+        while j < len(sections) and not headers[j].lossless:
+            epf_votes += 1 if headers[j].epf else 0
+            planes, eff_mul = decode_stream_planes(read_container(sections[j]))
+            planes_parts.append(planes)
+            mul_parts.append(eff_mul)
+            j += 1
+        planes = jnp.concatenate(planes_parts, axis=-1)
+        eff_mul = jnp.concatenate(mul_parts, axis=-1)
+        run_w = planes.shape[-1]  # padded run width (8-multiples)
+        rgb_parts.append(
+            _stitch_finish(
+                planes,
+                eff_mul,
+                jnp.float32(d0),
+                height=height,
+                width=run_w,
+                epf=epf_votes * 2 > (j - i),
+            )
+        )
+        i = j
+    out = jnp.concatenate(rgb_parts, axis=1)
+    return out[:, :width]
 
 
 def decode_striped_bytes(data: bytes) -> np.ndarray:
