@@ -1001,13 +1001,21 @@ def _mant_overflowed(got: np.ndarray, lanes: int, T: int) -> bool:
 
 
 def _encode_modular_core(
-    rgb, distance, *, height: int, width: int, lanes: int, cap_bytes: int
+    rgb, distance, *, height: int, width: int, lanes: int, cap_bytes: int,
+    pallas_enc: bool = False,
 ):
     """Modular-mode encoder (codec/lossless.py): YCoCg-R planes, quantized
     by modular_steps(distance) (identity at d=0 — true lossless), per-
     channel adaptive predictor residuals through the same grouped entropy
     layer. distance is TRACED: the d=0 and d>0 modular points of an RD
-    sweep share one compiled program."""
+    sweep share one compiled program.
+
+    pallas_enc routes the entropy tail through the Mosaic encode kernel —
+    used for modular-LOSSY streams (d > 0), whose quantized residuals fit
+    the kernel's 1/3-byte-per-token mantissa budget; true-lossless (d=0)
+    streams overflow it and stay on the XLA path (the host gates this on
+    the KNOWN config distance, and the generic mcounts overflow check
+    still falls back for pathological content)."""
     from jxl_tpu.codec.layout import lossless_layout
     from jxl_tpu.codec.lossless import lossless_tokens
 
@@ -1019,11 +1027,14 @@ def _encode_modular_core(
 
     return _entropy_and_pack(
         token, nbits, mant, ll_step_ctx(lay, q_sorted), lay, lanes, cap_bytes,
-        params=params,
+        params=params, pallas_enc=pallas_enc,
     )
 
 
-@partial(jax.jit, static_argnames=("height", "width", "lanes", "cap_bytes", "first"))
+@partial(
+    jax.jit,
+    static_argnames=("height", "width", "lanes", "cap_bytes", "first", "pallas_enc"),
+)
 def _encode_modular_pref(rgb, distance, *, first: int, **kw):
     buf = _encode_modular_core(rgb, distance, **kw)
     return jax.lax.slice(buf, (0,), (min(first, buf.shape[0]),)), buf
@@ -1086,7 +1097,10 @@ def _encode_palette_pref(idx, *, first: int, **kw):
     return jax.lax.slice(buf, (0,), (min(first, buf.shape[0]),)), buf
 
 
-@partial(jax.jit, static_argnames=("height", "width", "lanes", "cap_bytes", "first"))
+@partial(
+    jax.jit,
+    static_argnames=("height", "width", "lanes", "cap_bytes", "first", "pallas_enc"),
+)
 def _encode_modular_grid(rgb, distances, *, first: int, **kw):
     """Modular twin of _encode_grid: one dispatch covers a whole RD-sweep
     row's modular-path encodes (lax.map over the traced distance axis)."""
@@ -1210,7 +1224,7 @@ def encode_images_batched_async(
         out = []
         for i in range(b):
             cfg_d = replace(config, distance=dists[i])
-            k = (h, w, lanes, _dist_key(dists[i]))
+            k = (h, w, lanes, _dist_key(dists[i]), "var")
             _NEED_HISTORY[k] = max(
                 _NEED_HISTORY.get(k, 0), _need_u32(got_all[i], lanes)
             )
@@ -1267,11 +1281,12 @@ def _pref_rows(bufs, want: int):
     return jax.lax.slice(bufs, (0, 0), (bufs.shape[0], want))
 
 
-def _window_from_history(lanes: int, h: int, w: int, dists):
+def _window_from_history(lanes: int, h: int, w: int, dists, mode: str = "var"):
     """Fetch-window size (u32, bucketed in fixed 8192-u32 / 32 KB steps
     to bound compile count) from history, or None until every distance
-    bucket has been observed."""
-    needs = [_NEED_HISTORY.get((h, w, lanes, _dist_key(d))) for d in dists]
+    bucket has been observed. `mode` separates the VarDCT and modular
+    paths' histories (same geometry, ~30x different stream sizes)."""
+    needs = [_NEED_HISTORY.get((h, w, lanes, _dist_key(d), mode)) for d in dists]
     if any(n is None for n in needs):
         return None
     want = int(max(needs) * 1.3) + 2 * BLK_U32
@@ -1495,7 +1510,7 @@ def encode_image_grid_async(
         out = []
         for i, d in enumerate(distances):
             cfg_d = replace(config, distance=max(float(d), 0.05))
-            k = (h, w, lanes, _dist_key(cfg_d.distance))
+            k = (h, w, lanes, _dist_key(cfg_d.distance), "var")
             _NEED_HISTORY[k] = max(
                 _NEED_HISTORY.get(k, 0), _need_u32(got_all[i], lanes)
             )
@@ -1641,27 +1656,54 @@ def _palette_async(idx, pal, config: CodecConfig, orig_name: str = ""):
 
 def _modular_async(rgb, config: CodecConfig, orig_name: str = ""):
     """Dispatch a modular-mode encode (d=0 lossless or d>0 modular-lossy,
-    codec/lossless.py); returns finalize() -> container bytes."""
+    codec/lossless.py); returns finalize() -> container bytes.
+
+    Modular-LOSSY streams ride the Mosaic encode kernel when it fits
+    (their quantized residuals sit well under the kernel's mantissa
+    budget; d=0 lossless stays on the XLA path); a detected mantissa
+    overflow re-dispatches via XLA, same contract as the VarDCT path."""
     h, w = int(rgb.shape[0]), int(rgb.shape[1])
     from jxl_tpu.codec.layout import lossless_layout
 
     lanes = pick_lanes(3 * h * w, config.lanes)
     lay = lossless_layout(h, w, lanes)
     cap = byte_capacity(lay["n_padded"])
-    pref, buf = _encode_modular_pref(
-        jnp.asarray(rgb),
-        jnp.float32(config.distance),
-        first=_first_get_u32(lanes, h * w, lossless=True),
-        height=h,
-        width=w,
-        lanes=lanes,
-        cap_bytes=cap,
-    )
-    pref.copy_to_host_async()
+
+    def dispatch(use_kernel: bool):
+        p, b = _encode_modular_pref(
+            jnp.asarray(rgb),
+            jnp.float32(config.distance),
+            first=_first_get_u32(lanes, h * w, lossless=True),
+            height=h,
+            width=w,
+            lanes=lanes,
+            cap_bytes=cap,
+            pallas_enc=use_kernel,
+        )
+        # fetch-window history ("mod" namespace): the static lossless-
+        # sized speculative prefix covers ~14 bpp, but modular-LOSSY
+        # streams run ~0.5 bpp — through the tunnel's ~47 ms/MB D2H the
+        # over-fetch would dominate the whole encode
+        want = _window_from_history(lanes, h, w, [config.distance], mode="mod")
+        if want is not None and want < p.shape[0]:
+            p = _pref_1d(b, want)
+        p.copy_to_host_async()
+        return p, b
+
+    pallas_enc = config.distance > 0.0 and _use_pallas_enc(lanes, lay["T"])
+    pref, buf = dispatch(pallas_enc)
 
     def finalize() -> bytes:
         got = np.asarray(pref)
-        pieces = _parse_packed(got, buf, lanes, n_ctx=lay["n_ctx"])
+        b = buf
+        if pallas_enc and _mant_overflowed(got, lanes, lay["T"]):
+            p2, b = dispatch(False)
+            got = np.asarray(p2)
+        k = (h, w, lanes, _dist_key(config.distance), "mod")
+        _NEED_HISTORY[k] = max(
+            _NEED_HISTORY.get(k, 0), _need_u32(got, lanes, n_ctx=lay["n_ctx"])
+        )
+        pieces = _parse_packed(got, b, lanes, n_ctx=lay["n_ctx"])
         return _assemble_container(
             h, w, config, orig_name, lanes, lay, *pieces, modular=True
         )
@@ -1680,23 +1722,48 @@ def _modular_grid_async(rgb, config: CodecConfig, distances, orig_name: str = ""
     lay = lossless_layout(h, w, lanes)
     cap = byte_capacity(lay["n_padded"])
     d_arr = jnp.asarray([max(float(d), 0.05) for d in distances], jnp.float32)
-    pref, bufs = _encode_modular_grid(
-        jnp.asarray(rgb),
-        d_arr,
-        first=_first_get_u32(lanes, h * w, lossless=True),
-        height=h,
-        width=w,
-        lanes=lanes,
-        cap_bytes=cap,
+
+    def dispatch(use_kernel: bool):
+        p, b = _encode_modular_grid(
+            jnp.asarray(rgb),
+            d_arr,
+            first=_first_get_u32(lanes, h * w, lossless=True),
+            height=h,
+            width=w,
+            lanes=lanes,
+            cap_bytes=cap,
+            pallas_enc=use_kernel,
+        )
+        want = _window_from_history(
+            lanes, h, w, [max(float(d), 0.05) for d in distances], mode="mod"
+        )
+        if want is not None and want < p.shape[1]:
+            p = _pref_rows(b, want)
+        p.copy_to_host_async()
+        return p, b
+
+    pallas_enc = all(float(d) > 0.0 for d in distances) and _use_pallas_enc(
+        lanes, lay["T"]
     )
-    pref.copy_to_host_async()
+    pref, bufs = dispatch(pallas_enc)
 
     def finalize() -> list:
-        got_all = np.asarray(pref)
+        got_all, b = np.asarray(pref), bufs
+        if pallas_enc and any(
+            _mant_overflowed(got_all[i], lanes, lay["T"])
+            for i in range(len(distances))
+        ):
+            p2, b = dispatch(False)
+            got_all = np.asarray(p2)
         out = []
         for i, d in enumerate(distances):
             cfg_d = replace(config, distance=max(float(d), 0.05))
-            pieces = _parse_packed(got_all[i], bufs[i], lanes, n_ctx=lay["n_ctx"])
+            k = (h, w, lanes, _dist_key(cfg_d.distance), "mod")
+            _NEED_HISTORY[k] = max(
+                _NEED_HISTORY.get(k, 0),
+                _need_u32(got_all[i], lanes, n_ctx=lay["n_ctx"]),
+            )
+            pieces = _parse_packed(got_all[i], b[i], lanes, n_ctx=lay["n_ctx"])
             out.append(
                 _assemble_container(
                     h, w, cfg_d, orig_name, lanes, lay, *pieces, modular=True
@@ -1786,7 +1853,7 @@ def encode_image_async(rgb: np.ndarray, config: CodecConfig, orig_name: str = ""
             if pallas_enc and _mant_overflowed(got, lanes, lay["T"]):
                 p2, b = dispatch(False)  # rare: very low distance
                 got = np.asarray(p2)
-            k = (h, w, lanes, _dist_key(config.distance))
+            k = (h, w, lanes, _dist_key(config.distance), "var")
             _NEED_HISTORY[k] = max(
                 _NEED_HISTORY.get(k, 0), _need_u32(got, lanes)
             )
