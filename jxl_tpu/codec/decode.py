@@ -310,11 +310,32 @@ _decode_packed = partial(
 )(_decode_packed_core)
 
 
+def _ll_phase_b_ctx(vals_a, lay):
+    """Lossless/modular phase-B step contexts from the decoded activity
+    flag maps (shared with _decode_packed_core's per-image path)."""
+    from jxl_tpu.codec.encode import bucket_perm
+    from jxl_tpu.codec.layout import LL_Q
+    from jxl_tpu.codec.lossless import ll_step_ctx
+
+    nbl = lay["nbl"]
+    chans = []
+    for i in range(3):
+        _c, dst, n_real, _p = lay["spans"][i]
+        chans.append(
+            jnp.clip(vals_a[dst : dst + n_real].astype(jnp.int32), 0, LL_Q - 1)
+        )
+    q = jnp.stack(chans)
+    q_sorted = jnp.take_along_axis(q, bucket_perm(q, nbl), axis=1)
+    return ll_step_ctx(lay, q_sorted)[lay["t_a"] :]
+
+
 @partial(
     jax.jit,
-    static_argnames=("height", "width", "lanes", "epf", "capw", "capm", "pallas"),
+    static_argnames=(
+        "height", "width", "lanes", "epf", "capw", "capm", "pallas", "lossless",
+    ),
 )
-def _decode_packed_grid(packed_b, distances, *, height, width, lanes, epf, capw, capm, pallas):
+def _decode_packed_grid(packed_b, distances, *, height, width, lanes, epf, capw, capm, pallas, lossless=False):
     """Decode a whole RD-sweep row in ONE dispatch (ROADMAP #3).
 
     packed_b: [N, L] u32 (per-point packed buffers, shared capw/capm
@@ -325,7 +346,11 @@ def _decode_packed_grid(packed_b, distances, *, height, width, lanes, epf, capw,
     zero rate cost — the entropy scan is the decode wall (VERDICT r2
     item 2). Reconstruction (dequant/IDCT/CfL/EPF) then lax.maps per
     image. Off-TPU (no kernel) the whole per-image decode lax.maps as
-    before. Lossy only — d=0 points run their own modular program."""
+    before. `lossless` (static) selects the modular-family layout and
+    reconstruction: a UNIFORM row of modular(-lossy) points batches the
+    same way (round 5) — phase B conditions on the decoded activity
+    maps instead of the nnz map. Mixed rows and palette streams stay on
+    the per-stream path (decode_bytes_grid_stacked returns None)."""
     n = packed_b.shape[0]
     if pallas:
         from jxl_tpu.entropy.pallas_rans import fits_vmem
@@ -337,13 +362,13 @@ def _decode_packed_grid(packed_b, distances, *, height, width, lanes, epf, capw,
             p, d = args
             return _decode_packed_core(
                 p, d, height=height, width=width, lanes=lanes, epf=epf,
-                capw=capw, capm=capm, pallas=False, lossless=False,
+                capw=capw, capm=capm, pallas=False, lossless=lossless,
             )
 
         return jax.lax.map(one, (packed_b, distances))
 
     from jxl_tpu.codec.encode import ac_step_ctx
-    from jxl_tpu.codec.layout import padded_layout
+    from jxl_tpu.codec.layout import lossless_layout, padded_layout
     from jxl_tpu.entropy.grouped import GROUP, kernel_rows
     from jxl_tpu.entropy.pallas_rans import (
         decode_grouped_pallas_batched,
@@ -353,7 +378,11 @@ def _decode_packed_grid(packed_b, distances, *, height, width, lanes, epf, capw,
 
     from jxl_tpu.entropy.pallas_rans import fits_vmem
 
-    lay = padded_layout(height, width, lanes)
+    lay = (
+        lossless_layout(height, width, lanes)
+        if lossless
+        else padded_layout(height, width, lanes)
+    )
     T = lay["T"]
     t_a = lay["t_a"]
     t_b = T - t_a
@@ -392,13 +421,16 @@ def _decode_packed_grid(packed_b, distances, *, height, width, lanes, epf, capw,
             B=b,
             return_carry=True,
         )
-        # per-image AC rows from each stream's decoded nnz map
+        # per-image phase-B rows from each stream's decoded conditioning
+        # section (lossy: the nnz map; modular: the activity flag maps)
         rows_b = []
         for i, c in enumerate(chunk):
-            _qf, q_sorted = _nnz_map_from_padded(vals_a[i], c[0], lay)
-            rows_b.append(
-                rows_padded(kernel_rows(ac_step_ctx(lay, q_sorted), c[5], c[6]), t_b)
-            )
+            if lossless:
+                ctx_b = _ll_phase_b_ctx(vals_a[i], lay)
+            else:
+                _qf, q_sorted = _nnz_map_from_padded(vals_a[i], c[0], lay)
+                ctx_b = ac_step_ctx(lay, q_sorted)
+            rows_b.append(rows_padded(kernel_rows(ctx_b, c[5], c[6]), t_b))
         vals_b = decode_grouped_pallas_batched(
             wcat,
             mcat,
@@ -421,6 +453,12 @@ def _decode_packed_grid(packed_b, distances, *, height, width, lanes, epf, capw,
                 for _c, dst, n_real, _n_pad in lay["spans"]
             ]
         )
+        if lossless:
+            from jxl_tpu.codec.lossless import reconstruct_lossless
+
+            return reconstruct_lossless(
+                values, params, height=height, width=width, distance=d
+            )
         return _reconstruct(
             values, d, params, height=height, width=width, epf=epf
         )
@@ -757,7 +795,9 @@ def decode_bytes_grid_stacked(datas):
         s.header.height == h0.height
         and s.header.width == h0.width
         and s.header.lanes == h0.lanes
-        and not s.header.lossless
+        and s.header.lossless == h0.lossless
+        # palette streams need the per-stream palette gather: per-stream path
+        and not (s.header.lossless and len(s.acs_extra) >= 3)
         for s in streams
     )  # EPF may differ per point: the traced decode_params bit governs it
     if not uniform:
@@ -781,6 +821,7 @@ def decode_bytes_grid_stacked(datas):
         capw=capw,
         capm=capm,
         pallas=_use_pallas(),
+        lossless=h0.lossless,
     )
 
 

@@ -97,7 +97,7 @@ def test_fetch_window_hit_and_miss_bytes_identical():
 def test_window_sizing_properties():
     _NEED_HISTORY.clear()
     assert _window_from_history(128, 96, 128, [1.0]) is None
-    _NEED_HISTORY[(96, 128, 128, _dist_key(1.0))] = 10000
+    _NEED_HISTORY[(96, 128, 128, _dist_key(1.0), "var")] = 10000
     w = _window_from_history(128, 96, 128, [1.0])
     assert w % 8192 == 0 and w >= int(10000 * 1.3)
     # any unobserved distance bucket in the batch disables the window
