@@ -23,6 +23,23 @@ import shutil
 import sys
 import time
 
+_PROC_T0 = time.perf_counter()
+
+
+def _suggest_serve():
+    """After a slow one-shot invocation, point at the persistent server
+    (backend/tunnel session startup dominates fresh processes on the
+    tunneled TPU — docs/cli_latency_r05.md)."""
+    if time.perf_counter() - _PROC_T0 > 30 and not os.environ.get(
+        "JXL_TPU_NO_SERVER"
+    ):
+        print(
+            "[hint] most of that was per-process backend startup; run "
+            "`python -m jxl_tpu serve &` once and repeat invocations "
+            "complete in seconds",
+            file=sys.stderr,
+        )
+
 
 def _add_codec_args(p):
     p.add_argument("--distance", type=float, default=1.0, help="quality (cjxl --distance analog)")
@@ -91,6 +108,7 @@ def cmd_encode(args) -> int:
     mp = rgb.shape[0] * rgb.shape[1] / 1e6
     bpp = size * 8 / (rgb.shape[0] * rgb.shape[1])
     print(f"{args.output}: {size} bytes, {bpp:.3f} bpp, {mp / dt:.2f} MP/s")
+    _suggest_serve()
     return 0
 
 
@@ -117,6 +135,7 @@ def cmd_decode(args) -> int:
     write_image(args.output, rgb)
     mp = rgb.shape[0] * rgb.shape[1] / 1e6
     print(f"{args.output}: {rgb.shape[1]}x{rgb.shape[0]}, {mp / dt:.2f} MP/s")
+    _suggest_serve()
     return 0
 
 
