@@ -116,19 +116,28 @@ def serve(socket_path: str = DEFAULT_SOCKET, warm: bool = True) -> int:
         while True:
             conn, _ = srv.accept()
             with conn:
-                f = conn.makefile("rwb")
-                line = f.readline()
-                if not line:
-                    continue
                 try:
-                    req = json.loads(line)
-                    rep = _handle(req)
-                except Exception as e:  # clean error back to the client
-                    rep = {"ok": False, "error": f"{type(e).__name__}: {e}"}
-                f.write((json.dumps(rep) + "\n").encode())
-                f.flush()
-                if rep.get("_shutdown"):
-                    return 0
+                    # a silent client must not wedge the single-threaded
+                    # accept loop; codec work itself runs with no deadline
+                    conn.settimeout(10.0)
+                    f = conn.makefile("rwb")
+                    line = f.readline()
+                    if not line:
+                        continue
+                    conn.settimeout(None)
+                    try:
+                        req = json.loads(line)
+                        rep = _handle(req)
+                    except Exception as e:  # clean error back to the client
+                        rep = {"ok": False, "error": f"{type(e).__name__}: {e}"}
+                    f.write((json.dumps(rep) + "\n").encode())
+                    f.flush()
+                    if rep.get("_shutdown"):
+                        return 0
+                except OSError:
+                    # client vanished mid-request (Ctrl-C, kill, timeout):
+                    # drop the connection, keep serving
+                    continue
     finally:
         srv.close()
         try:
@@ -142,6 +151,18 @@ def try_forward(req: dict, socket_path: str = DEFAULT_SOCKET):
     None when no server is reachable (caller then runs locally). Client
     side imports NO jax — the whole point is skipping backend startup."""
     if os.environ.get("JXL_TPU_NO_SERVER"):
+        return None
+    # A/B and calibration workflows steer the codec with JXL_TPU_* env
+    # knobs; the SERVER's environment would silently govern a forwarded
+    # request instead. Any codec knob set client-side disables forwarding
+    # so the invocation runs locally under the requested configuration.
+    _non_codec = {
+        "JXL_TPU_NO_SERVER", "JXL_TPU_SOCKET", "JXL_TPU_PLATFORM",
+        "JXL_TPU_CACHE_DIR", "JXL_TPU_NO_CACHE", "JXL_TPU_CPU_DEVICES",
+    }
+    if any(
+        k.startswith("JXL_TPU_") and k not in _non_codec for k in os.environ
+    ):
         return None
     if not os.path.exists(socket_path):
         return None

@@ -232,22 +232,7 @@ def _decode_packed_core(packed, distance, *, height, width, lanes, epf, capw, ca
 
     def phase_b_ctx(vals_a):
         if lossless:
-            from jxl_tpu.codec.encode import bucket_perm
-            from jxl_tpu.codec.layout import LL_Q
-            from jxl_tpu.codec.lossless import ll_step_ctx
-
-            nbl = lay["nbl"]
-            chans = []
-            for i in range(3):
-                _c, dst, n_real, _p = lay["spans"][i]
-                chans.append(
-                    jnp.clip(
-                        vals_a[dst : dst + n_real].astype(jnp.int32), 0, LL_Q - 1
-                    )
-                )
-            q = jnp.stack(chans)
-            q_sorted = jnp.take_along_axis(q, bucket_perm(q, nbl), axis=1)
-            return ll_step_ctx(lay, q_sorted)[t_a:]
+            return _ll_phase_b_ctx(vals_a, lay)
         _qf, q_sorted = _nnz_map_from_padded(vals_a, params, lay)
         return ac_step_ctx(lay, q_sorted)
 

@@ -1051,11 +1051,20 @@ def _palette_of(rgb: np.ndarray):
     a = np.asarray(rgb)
     if a.ndim != 3 or a.shape[2] != 3:
         return None
-    flat = (
-        (a[..., 0].astype(np.uint32) << 16)
-        | (a[..., 1].astype(np.uint32) << 8)
-        | a[..., 2].astype(np.uint32)
-    ).reshape(-1)
+
+    def _pack(x):
+        return (
+            (x[..., 0].astype(np.uint32) << 16)
+            | (x[..., 1].astype(np.uint32) << 8)
+            | x[..., 2].astype(np.uint32)
+        ).reshape(-1)
+
+    if a.shape[0] * a.shape[1] > (1 << 22):
+        # cheap pre-screen before the full-image unique/sort: a stride-4
+        # sample already exceeding 256 colors proves the whole image does
+        if len(np.unique(_pack(a[::4, ::4]))) > 256:
+            return None
+    flat = _pack(a)
     colors, inverse = np.unique(flat, return_inverse=True)
     if len(colors) > 256:
         return None

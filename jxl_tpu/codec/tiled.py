@@ -140,6 +140,17 @@ def encode_image_striped(
     h, w = int(rgb.shape[0]), int(rgb.shape[1])
     if n_stripes is None:
         n_stripes = default_n_stripes(h, w)
+    # every SECTION must satisfy the hardened decoder's single-section cap
+    # (container.MAX_PIXELS): raise a too-small user/default stripe count
+    # rather than writing a container our own decoder rejects
+    from jxl_tpu.codec.container import MAX_PIXELS
+
+    min_stripes = -(-h * w // MAX_PIXELS)
+    if n_stripes < min_stripes:
+        n_stripes = min_stripes
+    assert w >= 8 * n_stripes and h <= MAX_PIXELS // 8, (
+        f"{h}x{w} cannot be striped into <= {MAX_PIXELS}-pixel sections"
+    )
     widths = stripe_widths(w, n_stripes)
     edges = np.concatenate([[0], np.cumsum(widths)])
     stripes = [rgb[:, edges[i] : edges[i + 1]] for i in range(n_stripes)]
@@ -281,8 +292,12 @@ def decode_striped_device(data: bytes):
     d0 = headers[0].distance
     for hs in headers:
         # a heterogeneous distance (hand-built container) would silently
-        # filter/dequantize with the wrong strength
-        assert hs.distance == d0, "striped sections disagree on distance"
+        # filter/dequantize with the wrong strength; same ValueError
+        # contract as the hardened parsers
+        if hs.distance != d0:
+            raise ValueError(
+                "malformed striped container: sections disagree on distance"
+            )
 
     rgb_parts = []  # per maximal run: RGB u8 [H, run_w, 3]
     i = 0

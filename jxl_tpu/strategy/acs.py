@@ -370,6 +370,10 @@ def search_acs(
             # partition's rate and rejected it.
             import os
 
+            # read at TRACE time like every JXL_TPU_* knob (see
+            # transforms/quant.py): changing it mid-process does not
+            # invalidate already-compiled encoder programs — set it
+            # before the first encode of a given (shape, effort) config
             eps = float(os.environ.get("JXL_TPU_HOOKA_EPS", "0.02"))
             stackc = jnp.stack([costs[s] for s in range(4)])
             cost_part = jnp.take_along_axis(stackc, part[None], axis=0)[0]

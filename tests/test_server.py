@@ -102,3 +102,33 @@ def test_no_server_returns_none(tmp_path):
         assert try_forward({"cmd": "ping"}, socket_path="/tmp") is None
     finally:
         del os.environ["JXL_TPU_NO_SERVER"]
+
+
+def test_server_survives_client_disconnect(server):
+    """A client that connects and vanishes (or stays silent) must not
+    kill or wedge the accept loop."""
+    from jxl_tpu.cli.server import try_forward
+
+    # connect and drop immediately (write nothing)
+    c = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+    c.connect(server)
+    c.close()
+    # connect, send garbage without newline, drop
+    c = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+    c.connect(server)
+    c.sendall(b'{"cmd": "enc')
+    c.close()
+    rep = try_forward({"cmd": "ping"}, socket_path=server)
+    assert rep == {"ok": True, "msg": "pong"}
+
+
+def test_codec_env_knobs_disable_forwarding(server, monkeypatch):
+    """A client steering the codec via JXL_TPU_* env must run locally (the
+    server's environment would otherwise govern the encode)."""
+    from jxl_tpu.cli.server import try_forward
+
+    monkeypatch.setenv("JXL_TPU_MODULAR", "0")
+    assert try_forward({"cmd": "ping"}, socket_path=server) is None
+    monkeypatch.delenv("JXL_TPU_MODULAR")
+    monkeypatch.setenv("JXL_TPU_PLATFORM", "cpu")  # non-codec knob: forwards
+    assert try_forward({"cmd": "ping"}, socket_path=server)["ok"]
